@@ -1,0 +1,172 @@
+"""PairHMM: per-(chromosome, path-subset) genotyping/phasing driver.
+
+Mirrors the reference HMM class contract (src/hmm.cpp:25-63): construct
+with records + probabilities + options, run forward/backward (genotype
+likelihoods) and/or Viterbi (haplotypes), expose one GenotypeLikelihoods
+per variant record. Computation runs as JAX scans (see
+forward_backward.py / viterbi.py); this layer densifies inputs and
+scatters device outputs back into host result objects, replicating the
+reference's bookkeeping quirks:
+
+- Columns skipped by the column indexer keep empty likelihood maps.
+- After the backward pass, unique-kmer counts and coverage are stored
+  for EVERY record (src/hmm.cpp:106-109).
+- The Viterbi backtrack stores haplotype alleles at the record the
+  column maps to, but (faithfully to src/hmm.cpp:164-165) writes
+  kmer-count/coverage at the COLUMN index.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..kmers.unique import UniqueKmersRecord
+from ..model.probabilities import ProbabilityTable
+from ..panel.variant import GenotypeLikelihoods
+from .columns import HMMColumns, build_columns, transition_probs
+from .forward_backward import ColumnArrays, forward_backward
+from .viterbi import viterbi
+
+
+def _to_device_columns(
+    columns: HMMColumns,
+    recombrate: float,
+    effective_N: float,
+    uniform: bool,
+    dtype,
+) -> ColumnArrays:
+    from .emissions import emission_scale
+
+    N = columns.n_columns
+    trans = np.ones((N, 3), dtype=np.float64)
+    if N >= 2:
+        trans[1:] = transition_probs(
+            columns.positions, columns.n_paths, recombrate, effective_N, uniform
+        )
+    lp = jnp.asarray(columns.log_probs, dtype)
+    kmer_mask = jnp.asarray(columns.kmer_mask)
+    scale = emission_scale(lp, kmer_mask)
+    return ColumnArrays(
+        lp=lp,
+        pr=jnp.asarray(columns.probs, dtype),
+        kmer_allele=jnp.asarray(columns.kmer_alleles),
+        kmer_mask=kmer_mask,
+        alleles=jnp.asarray(columns.alleles),
+        undefined=jnp.asarray(columns.undefined),
+        all_zeros=jnp.asarray(columns.all_zeros),
+        scale=scale,
+        trans=jnp.asarray(trans, dtype),
+        allele_local=jnp.asarray(columns.allele_local),
+        nr_local=jnp.asarray(columns.nr_local),
+    )
+
+
+class PairHMM:
+    """Forward-Backward + Viterbi over path-pair states."""
+
+    def __init__(
+        self,
+        records: Sequence[UniqueKmersRecord],
+        probabilities: ProbabilityTable,
+        run_genotyping: bool,
+        run_phasing: bool,
+        recombrate: float = 1.26,
+        uniform: bool = False,
+        effective_N: float = 25000.0,
+        only_paths: Optional[Sequence[int]] = None,
+        normalize: bool = True,
+        dtype=jnp.float64,
+    ):
+        self.records = records
+        self.genotyping_result: List[GenotypeLikelihoods] = [
+            GenotypeLikelihoods() for _ in records
+        ]
+        columns = build_columns(records, probabilities, only_paths)
+        self.columns = columns
+        # zero probabilities (possible via table overrides) need the
+        # -inf-safe emission path
+        safe = bool(np.any(~(columns.probs > 0) & columns.kmer_mask[:, :, None]))
+
+        if columns.n_columns > 0:
+            device_cols = _to_device_columns(
+                columns, recombrate, effective_N, uniform, dtype
+            )
+            if run_genotyping:
+                posteriors = np.asarray(forward_backward(device_cols, safe=safe))
+                self._scatter_genotypes(posteriors)
+                for i, record in enumerate(records):
+                    self.genotyping_result[i].nr_unique_kmers = record.size()
+                    self.genotyping_result[i].coverage = record.get_coverage()
+                if normalize:
+                    for g in self.genotyping_result:
+                        g.normalize()
+            if run_phasing:
+                states = np.asarray(
+                    viterbi(device_cols, safe=safe, uniform=uniform)
+                )
+                self._scatter_haplotypes(states)
+        elif run_genotyping:
+            for i, record in enumerate(records):
+                self.genotyping_result[i].nr_unique_kmers = record.size()
+                self.genotyping_result[i].coverage = record.get_coverage()
+
+    # -- host scatter ------------------------------------------------------
+
+    def _scatter_genotypes(self, posteriors: np.ndarray) -> None:
+        columns = self.columns
+        for n in range(columns.n_columns):
+            result = self.genotyping_result[columns.variant_ids[n]]
+            nr_local = int(columns.nr_local[n])
+            locals_n = columns.local_alleles[n]
+            G = posteriors[n]
+            # zero-valued entries still create map keys, as the
+            # reference's operator[] does — the uniqueness check and
+            # contains_no_likelihoods() observe them
+            for i in range(nr_local):
+                a_i = int(locals_n[i])
+                result.add_to_likelihood(a_i, a_i, float(G[i, i]))
+                for j in range(i + 1, nr_local):
+                    result.add_to_likelihood(
+                        a_i, int(locals_n[j]), float(G[i, j] + G[j, i])
+                    )
+
+    def _scatter_haplotypes(self, states: np.ndarray) -> None:
+        columns = self.columns
+        P = columns.n_paths
+        for n in range(columns.n_columns):
+            state = int(states[n])
+            p1, p2 = state // P, state % P
+            allele1 = int(columns.alleles[n, p1])
+            allele2 = int(columns.alleles[n, p2])
+            variant_id = int(columns.variant_ids[n])
+            self.genotyping_result[variant_id].haplotype_1 = allele1
+            self.genotyping_result[variant_id].haplotype_2 = allele2
+            # reference quirk: kmer count / coverage written at the
+            # COLUMN index, not the variant id (src/hmm.cpp:164-165)
+            self.genotyping_result[n].nr_unique_kmers = self.records[n].size()
+            self.genotyping_result[n].coverage = self.records[n].get_coverage()
+
+    # -- reference-parity accessors ----------------------------------------
+
+    def get_genotyping_result(self) -> List[GenotypeLikelihoods]:
+        return self.genotyping_result
+
+    def move_genotyping_result(self) -> List[GenotypeLikelihoods]:
+        result = self.genotyping_result
+        self.genotyping_result = []
+        return result
+
+    def combine_likelihoods(self, other: "PairHMM") -> None:
+        if len(self.genotyping_result) != len(other.genotyping_result):
+            raise RuntimeError(
+                "PairHMM.combine_likelihoods: HMMs must be the same size."
+            )
+        for mine, theirs in zip(self.genotyping_result, other.genotyping_result):
+            mine.combine(theirs)
+
+    def normalize(self) -> None:
+        for g in self.genotyping_result:
+            g.normalize()

@@ -1,0 +1,221 @@
+"""Canonical k-mer counting: sorted-table engine.
+
+Replaces the Jellyfish boundary of the reference
+(src/jellyfishcounter.cpp, src/kmercounter.hpp). Rather than a lock-free
+hash (a CPU-threading design), the table is a SORTED ARRAY of canonical
+k-mers plus a parallel count array:
+
+- build  = extract + canonicalize + sort + run-length-encode
+- lookup = binary search (vectorized searchsorted)
+- merge  = merge-sorted + segment-sum (device-friendly; across TPU
+  devices this becomes an all-gather + local merge)
+
+This shape maps directly onto TPU primitives (``jax.lax.sort``,
+``searchsorted``) — the device engine in ``device_counter.py`` uses the
+identical layout so host and device tables are interchangeable and can
+validate each other exactly.
+
+Both jellyfish modes are provided (src/jellyfishcounter.cpp:26-85):
+- COUNT: count all read k-mers.
+- PRIME+UPDATE (the memory saver / default): first register the graph
+  corpus k-mers with count 0, then add read k-mers only for registered
+  keys.
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Iterable, Iterator, List, Sequence
+
+import numpy as np
+
+from .histogram import Histogram, compute_kmer_coverage_from_peaks
+from .mer import canonicalize, encode_kmer, enumerate_valid_kmers
+from ..io.sequence import normalize_sequence
+
+
+def iter_sequences(filename: str) -> Iterator[bytes]:
+    """Yield sequences from FASTA or FASTQ (optionally gzipped)."""
+    opener = gzip.open if filename.endswith(".gz") else open
+    with opener(filename, "rt") as fh:
+        first = fh.read(1)
+        if not first:
+            return
+        if first == ">":
+            chunks: List[bytes] = []
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                if line.startswith(">"):
+                    if chunks:
+                        yield b"".join(chunks)
+                    chunks = []
+                else:
+                    chunks.append(normalize_sequence(line))
+            if chunks:
+                yield b"".join(chunks)
+        elif first == "@":
+            # FASTQ: header already half-consumed; read 4-line records
+            fh.readline()  # rest of header
+            while True:
+                seq = fh.readline().strip()
+                if not seq:
+                    return
+                yield normalize_sequence(seq)
+                fh.readline()  # +
+                fh.readline()  # quals
+                header = fh.readline()
+                if not header:
+                    return
+        else:
+            raise RuntimeError(f"iter_sequences: unrecognized format in {filename}")
+
+
+class KmerCounter:
+    """Abstract interface (reference src/kmercounter.hpp:9-24)."""
+
+    def get_kmer_abundance(self, kmer) -> int:
+        raise NotImplementedError
+
+    def get_abundances(self, values: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def compute_kmer_coverage(self, genome_kmers: int) -> int:
+        raise NotImplementedError
+
+    def compute_histogram(
+        self, max_count: int, largest_peak: bool, filename: str = ""
+    ) -> int:
+        raise NotImplementedError
+
+
+class ExactKmerCounter(KmerCounter):
+    """Sorted-table canonical k-mer counter."""
+
+    def __init__(self, k: int, keys: np.ndarray, counts: np.ndarray):
+        assert keys.dtype == np.uint64
+        self.k = k
+        self.keys = keys
+        self.counts = counts
+
+    # -- constructors ----------------------------------------------------
+
+    @staticmethod
+    def _extract_canonical(seqs: Iterable[bytes], k: int) -> np.ndarray:
+        parts = []
+        for seq in seqs:
+            kmers = enumerate_valid_kmers(seq, k)
+            if len(kmers):
+                parts.append(canonicalize(kmers, k))
+        if not parts:
+            return np.empty(0, dtype=np.uint64)
+        return np.concatenate(parts)
+
+    @classmethod
+    def count_sequences(cls, seqs: Iterable[bytes], k: int) -> "ExactKmerCounter":
+        """COUNT mode over an in-memory sequence iterable."""
+        kmers = cls._extract_canonical(seqs, k)
+        keys, counts = np.unique(kmers, return_counts=True)
+        return cls(k, keys, counts.astype(np.int64))
+
+    @classmethod
+    def count_file(cls, filename: str, k: int) -> "ExactKmerCounter":
+        """COUNT mode (jellyfish all-kmer counting) from FASTA/FASTQ."""
+        return cls.count_sequences(iter_sequences(filename), k)
+
+    @classmethod
+    def count_file_primed(
+        cls, read_file: str, corpus_files: Sequence[str], k: int
+    ) -> "ExactKmerCounter":
+        """PRIME+UPDATE mode: track only k-mers present in the corpus.
+
+        (reference src/jellyfishcounter.cpp:51-85)
+        """
+        corpus_kmers = []
+        for f in corpus_files:
+            corpus_kmers.append(cls._extract_canonical(iter_sequences(f), k))
+        keys = np.unique(
+            np.concatenate(corpus_kmers)
+            if corpus_kmers
+            else np.empty(0, dtype=np.uint64)
+        )
+        counts = np.zeros(len(keys), dtype=np.int64)
+        for seq in iter_sequences(read_file):
+            kmers = enumerate_valid_kmers(seq, k)
+            if not len(kmers):
+                continue
+            kmers = canonicalize(kmers, k)
+            idx = np.searchsorted(keys, kmers)
+            idx_clip = np.minimum(idx, len(keys) - 1) if len(keys) else idx
+            hit = len(keys) > 0
+            if hit:
+                mask = keys[idx_clip] == kmers
+                np.add.at(counts, idx_clip[mask], 1)
+        return cls(k, keys, counts)
+
+    @classmethod
+    def count_sequences_primed(
+        cls, read_seqs: Iterable[bytes], corpus_seqs: Iterable[bytes], k: int
+    ) -> "ExactKmerCounter":
+        keys = np.unique(cls._extract_canonical(corpus_seqs, k))
+        counts = np.zeros(len(keys), dtype=np.int64)
+        for seq in read_seqs:
+            kmers = enumerate_valid_kmers(seq, k)
+            if not len(kmers) or not len(keys):
+                continue
+            kmers = canonicalize(kmers, k)
+            idx = np.searchsorted(keys, kmers)
+            idx_clip = np.minimum(idx, len(keys) - 1)
+            mask = keys[idx_clip] == kmers
+            np.add.at(counts, idx_clip[mask], 1)
+        return cls(k, keys, counts)
+
+    # -- queries ---------------------------------------------------------
+
+    def get_kmer_abundance(self, kmer) -> int:
+        """Abundance of one k-mer (string or packed uint64); the query is
+        canonicalized like JellyfishCounter::getKmerAbundance
+        (src/jellyfishcounter.cpp:87-104).
+        """
+        if isinstance(kmer, (str, bytes)):
+            value = np.array([encode_kmer(kmer)], dtype=np.uint64)
+        else:
+            value = np.array([kmer], dtype=np.uint64)
+        return int(self.get_abundances(value)[0])
+
+    def get_abundances(self, values: np.ndarray) -> np.ndarray:
+        """Vectorized abundance lookup (values canonicalized here)."""
+        if len(self.keys) == 0:
+            return np.zeros(len(values), dtype=np.int64)
+        canon = canonicalize(np.asarray(values, dtype=np.uint64), self.k)
+        idx = np.searchsorted(self.keys, canon)
+        idx_clip = np.minimum(idx, len(self.keys) - 1)
+        found = self.keys[idx_clip] == canon
+        return np.where(found, self.counts[idx_clip], 0).astype(np.int64)
+
+    def compute_kmer_coverage(self, genome_kmers: int) -> int:
+        """ceil(sum(counts)/genome_kmers) (src/jellyfishcounter.cpp:106-117)."""
+        import math
+
+        return int(math.ceil(float(np.sum(self.counts)) / float(genome_kmers)))
+
+    def compute_histogram(
+        self, max_count: int, largest_peak: bool, filename: str = ""
+    ) -> int:
+        """Histogram of non-zero counts -> smoothed peak -> coverage.
+
+        (reference src/jellyfishcounter.cpp:119-153)
+        """
+        histogram = Histogram(max_count)
+        nonzero = self.counts[self.counts > 0]
+        histogram.add_counts(nonzero)
+        if filename:
+            histogram.write_to_file(filename)
+        histogram.smooth_histogram()
+        peak_ids, peak_values = histogram.find_peaks()
+        estimate = compute_kmer_coverage_from_peaks(peak_ids, peak_values, largest_peak)
+        if filename:
+            with open(filename, "a") as out:
+                out.write(f"parameters\t{estimate / 2.0:g}\t{estimate}\n")
+        return estimate

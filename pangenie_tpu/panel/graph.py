@@ -1,0 +1,457 @@
+"""Per-chromosome pangenome graph + VCF output writers.
+
+Replaces the reference ``Graph`` class (src/graph.cpp:46-609): owns the
+chromosome's merged variant bubbles, its reference sequence, and the
+variant-ID bookkeeping, and renders the genotyping / phasing /
+sampled-panel VCFs (including separation of merged bubbles back into
+individual VCF records and re-projection of likelihoods onto defined
+alleles).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Sequence, TextIO
+
+from ..io.fasta import FastaReader
+from .variant import GenotypeLikelihoods, SampledPanel, VariantBubble
+
+
+def _current_date() -> str:
+    t = time.localtime()
+    return f"{t.tm_year}{t.tm_mon:02d}{t.tm_mday:02d}"
+
+
+def _format_float(value: float, precision: int = 6) -> str:
+    """C++ ostream << setprecision(p) formatting (%.{p}g)."""
+    return f"{value:.{precision}g}"
+
+
+def construct_index(alleles: Sequence, reference_added: bool) -> List[int]:
+    """Stable argsort of alleles (optionally skipping a leading REF).
+
+    (reference src/graph.hpp:25-38). std::sort is not stable, but allele
+    sequences within a record are unique, so sorted() is equivalent.
+    """
+    offset = 1 if reference_added else 0
+    length = len(alleles) - offset
+    index = list(range(length))
+    index.sort(key=lambda a: alleles[a + offset])
+    return index
+
+
+class ChromosomeGraph:
+    """Container of merged variant bubbles for one chromosome."""
+
+    def __init__(
+        self,
+        fasta_reader: FastaReader,
+        chromosome: str,
+        kmer_size: int,
+        add_reference: bool,
+    ):
+        self.fasta_reader = fasta_reader
+        self.chromosome = chromosome
+        self.kmer_size = kmer_size
+        self.add_reference = add_reference
+        self.variants: List[Optional[VariantBubble]] = []
+        self.variant_ids: List[List[str]] = []
+        self.variants_deleted = False
+
+    # -- construction ----------------------------------------------------
+
+    def size(self) -> int:
+        return len(self.variants)
+
+    def get_variant(self, index: int) -> VariantBubble:
+        v = self.variants[index]
+        if v is None:
+            raise RuntimeError(
+                "ChromosomeGraph.get_variant: variant was deleted; re-build object."
+            )
+        return v
+
+    def add_variant_cluster(
+        self,
+        cluster: List[VariantBubble],
+        cluster_ids: List[List[str]],
+        only_defined_ids: bool = False,
+    ) -> None:
+        """Fold a cluster of nearby variants into one merged bubble.
+
+        (reference src/graph.cpp:66-100)
+        """
+        if not cluster:
+            return
+        assert len(cluster) == len(cluster_ids)
+        for variant, ids in zip(cluster, cluster_ids):
+            if ids:
+                assert len(variant.allele_sequences) == 1
+                alleles = variant.allele_sequences[0]
+                if only_defined_ids:
+                    from ..io.sequence import contains_undefined
+
+                    defined = [a for a in alleles if not contains_undefined(a)]
+                    assert len(defined) == len(ids) + 1
+                    self._insert_ids(defined, ids, True)
+                else:
+                    self._insert_ids(alleles, ids, True)
+            else:
+                self.variant_ids.append([])
+
+        combined = cluster[0]
+        for v in cluster[1:]:
+            combined.combine_variants(v)
+        combined.add_flanking_sequence()
+        self.variants.append(combined)
+
+    def _insert_ids(
+        self, alleles: Sequence[bytes], ids: List[str], reference_added: bool
+    ) -> None:
+        """Store IDs in lexicographic order of their ALT alleles.
+
+        (reference src/graph.cpp:20-29)
+        """
+        index = construct_index(alleles, reference_added)
+        self.variant_ids.append([ids[i] for i in index])
+
+    def _get_ids(
+        self, alt_alleles: Sequence[str], variant_index: int, reference_added: bool
+    ) -> str:
+        """Recover IDs in output ALT order. (reference src/graph.cpp:31-44)"""
+        index = construct_index(alt_alleles, reference_added)
+        sorted_ids = [""] * len(index)
+        for i, idx in enumerate(index):
+            sorted_ids[idx] = self.variant_ids[variant_index][i]
+        return ",".join(sorted_ids)
+
+    def delete_variant(self, index: int) -> None:
+        if index >= self.size():
+            raise RuntimeError("ChromosomeGraph.delete_variant: index out of bounds.")
+        if self.variants[index] is not None:
+            self.variants[index] = None
+            self.variants_deleted = True
+
+    def variants_were_deleted(self) -> bool:
+        return self.variants_deleted
+
+    # -- overhangs for local-coverage kmers ------------------------------
+
+    def get_left_overhang(self, index: int, length: int) -> bytes:
+        """Reference sequence left of bubble `index`, clipped at the
+        previous bubble. (reference src/graph.cpp:554-572)
+        """
+        cur_start = self.get_variant(index).get_start_position()
+        prev_end = 0
+        if index > 0:
+            prev_end = self.get_variant(index - 1).get_end_position()
+        overhang_start = max(cur_start - length, prev_end)
+        return self.fasta_reader.get_subsequence(
+            self.chromosome, overhang_start, cur_start
+        )
+
+    def get_right_overhang(self, index: int, length: int) -> bytes:
+        cur_end = self.get_variant(index).get_end_position()
+        next_start = self.fasta_reader.get_size_of(self.chromosome)
+        if index < self.size() - 1:
+            next_start = self.get_variant(index + 1).get_start_position()
+        overhang_end = min(cur_end + length, next_start)
+        return self.fasta_reader.get_subsequence(self.chromosome, cur_end, overhang_end)
+
+    # -- VCF writers -----------------------------------------------------
+
+    _GT_HEADER = (
+        "##fileformat=VCFv4.2\n"
+        "##fileDate={date}\n"
+        '##INFO=<ID=AF,Number=A,Type=Float,Description="Allele Frequency">\n'
+        '##INFO=<ID=UK,Number=1,Type=Integer,Description="Total number of unique kmers.">\n'
+        '##INFO=<ID=AK,Number=R,Type=Integer,Description="Number of unique kmers per allele. '
+        'Will be -1 for alleles not covered by any input haplotype path">\n'
+        '##INFO=<ID=MA,Number=1,Type=Integer,Description="Number of alleles missing in panel haplotypes.">\n'
+        '##INFO=<ID=ID,Number=A,Type=String,Description="Variant IDs.">\n'
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+        '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype quality: phred scaled probability '
+        'that the genotype is wrong.">\n'
+        '##FORMAT=<ID=GL,Number=G,Type=Float,Description="Comma-separated log10-scaled genotype '
+        'likelihoods for absent, heterozygous, homozygous.">\n'
+        '##FORMAT=<ID=KC,Number=1,Type=Float,Description="Local kmer coverage.">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t{sample}\n"
+    )
+
+    def _separated_records(self, variant: VariantBubble, result):
+        """Split a merged bubble into per-sub-variant (variant, result)."""
+        if variant.is_combined():
+            if isinstance(result, SampledPanel):
+                return variant.separate_variants_panel(result, skip_flanks=True)
+            return variant.separate_variants(result, skip_flanks=True)
+        return [variant], [result]
+
+    def write_genotypes(
+        self,
+        filename: str,
+        genotyping_result: List[GenotypeLikelihoods],
+        write_header: bool,
+        sample: str,
+        ignore_imputed: bool = False,
+    ) -> None:
+        """Emit the GT:GQ:GL:KC genotyping VCF.
+
+        (reference src/graph.cpp:118-278)
+        """
+        import math
+
+        if self.variants_deleted:
+            raise RuntimeError(
+                "ChromosomeGraph.write_genotypes: variants were deleted; re-build object."
+            )
+        if len(genotyping_result) != self.size():
+            raise RuntimeError(
+                "ChromosomeGraph.write_genotypes: number of variants and genotypes differ."
+            )
+        mode = "w" if write_header else "a"
+        with open(filename, mode) as out:
+            if write_header:
+                out.write(self._GT_HEADER.format(date=_current_date(), sample=sample))
+            counter = 0
+            for i in range(self.size()):
+                variant = self.get_variant(i)
+                coverage = genotyping_result[i].coverage
+                nr_unique_kmers = genotyping_result[i].nr_unique_kmers
+                singles, single_likelihoods = self._separated_records(
+                    variant, genotyping_result[i]
+                )
+                for v, likelihoods in zip(singles, single_likelihoods):
+                    v.remove_flanking_sequence()
+                    nr_alleles = v.nr_of_alleles()
+                    if nr_alleles < 2:
+                        raise RuntimeError(
+                            "ChromosomeGraph.write_genotypes: <2 alleles at position "
+                            f"{v.get_start_position()}"
+                        )
+                    alt_alleles = []
+                    defined_alleles = [0]
+                    for a in range(1, nr_alleles):
+                        if not v.is_undefined_allele(a):
+                            alt_alleles.append(v.get_allele_string(a))
+                            defined_alleles.append(a)
+                    allele_freqs = v.all_allele_frequencies(self.add_reference)
+                    af = ",".join(
+                        _format_float(allele_freqs[a]) for a in defined_alleles[1:]
+                    )
+
+                    nr_missing = nr_alleles - len(defined_alleles)
+                    gl = likelihoods
+                    if gl.contains_no_likelihoods():
+                        # only-reference-covered column: call 0/0 with prob 1
+                        gl = GenotypeLikelihoods(
+                            likelihoods={(0, 0): 1.0},
+                            coverage=gl.coverage,
+                            nr_unique_kmers=gl.nr_unique_kmers,
+                        )
+                    if nr_missing > 0:
+                        gl = gl.get_specific_likelihoods(defined_alleles)
+                    nr_out_alleles = len(defined_alleles)
+
+                    info = f"AF={af};UK={nr_unique_kmers};MA={nr_missing}"
+                    if self.variant_ids[counter]:
+                        info += ";ID=" + self._get_ids(alt_alleles, counter, False)
+
+                    genotype = gl.get_likeliest_genotype()
+                    if ignore_imputed and nr_unique_kmers == 0:
+                        genotype = (-1, -1)
+                    if genotype != (-1, -1):
+                        gt_field = (
+                            f"{genotype[0]}/{genotype[1]}:"
+                            f"{gl.get_genotype_quality(genotype[0], genotype[1])}:"
+                        )
+                    else:
+                        gt_field = ".:.:"
+
+                    all_likelihoods = gl.get_all_likelihoods(nr_out_alleles)
+                    if len(all_likelihoods) < 3:
+                        raise RuntimeError(
+                            "ChromosomeGraph.write_genotypes: too few likelihoods at "
+                            f"position {v.get_start_position()}"
+                        )
+                    gl_strs = []
+                    for value in all_likelihoods:
+                        lv = math.log10(value) if value > 0 else float("-inf")
+                        gl_strs.append(_format_float(lv, 4))
+                    out.write(
+                        f"{v.chromosome}\t{v.get_start_position() + 1}\t.\t"
+                        f"{v.get_allele_string(0)}\t{','.join(alt_alleles)}\t.\tPASS\t"
+                        f"{info}\tGT:GQ:GL:KC\t{gt_field}{','.join(gl_strs)}:{coverage}\n"
+                    )
+                    counter += 1
+
+    _PH_HEADER = (
+        "##fileformat=VCFv4.2\n"
+        "##fileDate={date}\n"
+        '##INFO=<ID=AF,Number=A,Type=Float,Description="Allele Frequency">\n'
+        '##INFO=<ID=UK,Number=1,Type=Integer,Description="Total number of unique kmers.">\n'
+        '##INFO=<ID=AK,Number=R,Type=Integer,Description="Number of unique kmers per allele. '
+        'Will be -1 for alleles not covered by any input haplotype path.">\n'
+        '##INFO=<ID=MA,Number=1,Type=Integer,Description="Number of alleles missing in panel haplotypes.">\n'
+        '##INFO=<ID=ID,Number=A,Type=String,Description="Variant IDs.">\n'
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+        '##FORMAT=<ID=KC,Number=1,Type=Float,Description="Local kmer coverage.">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t{sample}\n"
+    )
+
+    def write_phasing(
+        self,
+        filename: str,
+        genotyping_result: List[GenotypeLikelihoods],
+        write_header: bool,
+        sample: str,
+        ignore_imputed: bool = False,
+    ) -> None:
+        """Emit the phased GT:KC VCF. (reference src/graph.cpp:280-415)"""
+        if self.variants_deleted:
+            raise RuntimeError(
+                "ChromosomeGraph.write_phasing: variants were deleted; re-build object."
+            )
+        if len(genotyping_result) != self.size():
+            raise RuntimeError(
+                "ChromosomeGraph.write_phasing: number of variants and phasings differ."
+            )
+        mode = "w" if write_header else "a"
+        with open(filename, mode) as out:
+            if write_header:
+                out.write(self._PH_HEADER.format(date=_current_date(), sample=sample))
+            counter = 0
+            for i in range(self.size()):
+                variant = self.get_variant(i)
+                coverage = genotyping_result[i].coverage
+                nr_unique_kmers = genotyping_result[i].nr_unique_kmers
+                singles, single_likelihoods = self._separated_records(
+                    variant, genotyping_result[i]
+                )
+                for v, likelihoods in zip(singles, single_likelihoods):
+                    v.remove_flanking_sequence()
+                    nr_alleles = v.nr_of_alleles()
+                    if nr_alleles < 2:
+                        raise RuntimeError(
+                            "ChromosomeGraph.write_phasing: <2 alleles at position "
+                            f"{v.get_start_position()}"
+                        )
+                    alt_alleles = []
+                    defined_alleles = [0]
+                    for a in range(1, nr_alleles):
+                        if not v.is_undefined_allele(a):
+                            alt_alleles.append(v.get_allele_string(a))
+                            defined_alleles.append(a)
+                    nr_missing = nr_alleles - len(defined_alleles)
+                    gl = likelihoods
+                    if nr_missing > 0:
+                        gl = likelihoods.get_specific_likelihoods(defined_alleles)
+
+                    allele_freqs = v.all_allele_frequencies(self.add_reference)
+                    af = ",".join(
+                        _format_float(allele_freqs[a]) for a in defined_alleles[1:]
+                    )
+                    info = f"AF={af};UK={nr_unique_kmers};MA={nr_missing}"
+                    if self.variant_ids[counter]:
+                        info += ";ID=" + self._get_ids(alt_alleles, counter, False)
+
+                    if ignore_imputed and nr_unique_kmers == 0:
+                        gt_field = "./."
+                    else:
+                        hap1, hap2 = (
+                            likelihoods.haplotype_1,
+                            likelihoods.haplotype_2,
+                        )
+                        hap1_undefined = v.is_undefined_allele(hap1)
+                        hap2_undefined = v.is_undefined_allele(hap2)
+                        first = "." if hap1_undefined else str(gl.haplotype_1)
+                        second = "." if hap2_undefined else str(gl.haplotype_2)
+                        gt_field = f"{first}|{second}"
+                    out.write(
+                        f"{v.chromosome}\t{v.get_start_position() + 1}\t.\t"
+                        f"{v.get_allele_string(0)}\t{','.join(alt_alleles)}\t.\tPASS\t"
+                        f"{info}\tGT:KC\t{gt_field}:{coverage}\n"
+                    )
+                    counter += 1
+
+    _PANEL_HEADER = (
+        "##fileformat=VCFv4.2\n"
+        "##fileDate={date}\n"
+        '##INFO=<ID=AF,Number=A,Type=Float,Description="Allele Frequency">\n'
+        '##INFO=<ID=UK,Number=1,Type=Integer,Description="Total number of unique kmers.">\n'
+        '##INFO=<ID=MA,Number=1,Type=Integer,Description="Number of alleles missing in panel haplotypes.">\n'
+        '##INFO=<ID=ID,Number=A,Type=String,Description="Variant IDs.">\n'
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+    )
+
+    def write_sampled_panel(
+        self,
+        filename: str,
+        sampled_paths: List[SampledPanel],
+        write_header: bool,
+    ) -> None:
+        """Emit the multi-sample sampled-panel VCF.
+
+        (reference src/graph.cpp:418-551)
+        """
+        if self.variants_deleted:
+            raise RuntimeError(
+                "ChromosomeGraph.write_sampled_panel: variants were deleted; re-build object."
+            )
+        if len(sampled_paths) != self.size():
+            raise RuntimeError(
+                "ChromosomeGraph.write_sampled_panel: number of variants and panels differ."
+            )
+        mode = "w" if write_header else "a"
+        with open(filename, mode) as out:
+            if write_header:
+                out.write(self._PANEL_HEADER.format(date=_current_date()))
+                nr_paths = len(sampled_paths[0].path_to_allele)
+                cols = "\t".join(f"sampledHT{i}" for i in range(nr_paths))
+                out.write(
+                    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" + cols + "\n"
+                )
+            counter = 0
+            for i in range(self.size()):
+                variant = self.get_variant(i)
+                nr_unique_kmers = sampled_paths[i].nr_unique_kmers
+                singles, single_sampled = self._separated_records(
+                    variant, sampled_paths[i]
+                )
+                for v, sampled in zip(singles, single_sampled):
+                    v.remove_flanking_sequence()
+                    nr_alleles = v.nr_of_alleles()
+                    if nr_alleles < 2:
+                        raise RuntimeError(
+                            "ChromosomeGraph.write_sampled_panel: <2 alleles at "
+                            f"position {v.get_start_position()}"
+                        )
+                    alt_alleles = []
+                    defined_alleles = [0]
+                    for a in range(1, nr_alleles):
+                        if not v.is_undefined_allele(a):
+                            alt_alleles.append(v.get_allele_string(a))
+                            defined_alleles.append(a)
+                    nr_missing = nr_alleles - len(defined_alleles)
+                    paths = sampled
+                    if nr_missing > 0:
+                        paths = sampled.get_specific_alleles(defined_alleles)
+                    allele_freqs = v.all_allele_frequencies(self.add_reference)
+                    af = ",".join(
+                        _format_float(allele_freqs[a]) for a in defined_alleles[1:]
+                    )
+                    info = f"AF={af};UK={nr_unique_kmers};MA={nr_missing}"
+                    if self.variant_ids[counter]:
+                        info += ";ID=" + self._get_ids(alt_alleles, counter, False)
+                    gt_cols = []
+                    for p, allele in enumerate(paths.path_to_allele):
+                        if v.is_undefined_allele(sampled.path_to_allele[p]):
+                            assert allele == -1
+                            gt_cols.append(".")
+                        else:
+                            gt_cols.append(str(allele))
+                    out.write(
+                        f"{v.chromosome}\t{v.get_start_position() + 1}\t.\t"
+                        f"{v.get_allele_string(0)}\t{','.join(alt_alleles)}\t.\tPASS\t"
+                        f"{info}\tGT\t" + "\t".join(gt_cols) + "\n"
+                    )
+                    counter += 1
