@@ -13,6 +13,8 @@ from __future__ import annotations
 import time
 from typing import List, Optional, Sequence, TextIO
 
+import numpy as np
+
 from ..io.fasta import FastaReader
 from .variant import GenotypeLikelihoods, SampledPanel, VariantBubble
 
@@ -275,7 +277,9 @@ class ChromosomeGraph:
                         )
                     gl_strs = []
                     for value in all_likelihoods:
-                        lv = math.log10(value) if value > 0 else float("-inf")
+                        # np.log10 keeps long-double precision: GL of a
+                        # near-certain genotype is ~ -4e-19, not -0
+                        lv = np.log10(value) if value > 0 else float("-inf")
                         gl_strs.append(_format_float(lv, 4))
                     out.write(
                         f"{v.chromosome}\t{v.get_start_position() + 1}\t.\t"

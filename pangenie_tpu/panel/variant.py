@@ -41,8 +41,16 @@ class GenotypeLikelihoods:
     nr_unique_kmers: int = 0
 
     def add_to_likelihood(self, a1: int, a2: int, value: float) -> None:
+        # values are held as np.longdouble (80-bit on x86-64) so that
+        # accumulation/normalization matches the reference's long double
+        # arithmetic; device math is f64, but host-side bookkeeping must
+        # not round e.g. 1 - 1e-19 to 1.0 (GQ depends on the difference)
+        import numpy as np
+
         key = (a1, a2) if a1 < a2 else (a2, a1)
-        self.likelihoods[key] = self.likelihoods.get(key, 0.0) + value
+        self.likelihoods[key] = self.likelihoods.get(
+            key, np.longdouble(0.0)
+        ) + np.longdouble(value)
 
     def get_genotype_likelihood(self, a1: int, a2: int) -> float:
         key = (a1, a2) if a1 < a2 else (a2, a1)
@@ -52,10 +60,27 @@ class GenotypeLikelihoods:
         return not self.likelihoods
 
     def normalize(self) -> None:
+        """Normalize likelihoods to sum 1 (src/genotypingresult.cpp:200-210).
+
+        The dominant entry is computed as 1/(1 + rest/v) rather than
+        v/total: device posteriors are f64 promoted to longdouble, and
+        the reciprocal form reproduces the reference's long-double
+        rounding of near-certain probabilities (1 - ~1e-19) at the final
+        ulp, which the GL/GQ output formatting exposes.
+        """
+        import numpy as np
+
         total = sum(self.likelihoods.values())
         if total > 0:
-            for k in self.likelihoods:
-                self.likelihoods[k] /= total
+            vmax = max(self.likelihoods.values())
+            for k, v in self.likelihoods.items():
+                if v == vmax and v > 0:
+                    rest = (total - v) / v
+                    self.likelihoods[k] = np.longdouble(1.0) / (
+                        np.longdouble(1.0) + rest
+                    )
+                else:
+                    self.likelihoods[k] = v / total
 
     def combine(self, other: "GenotypeLikelihoods") -> None:
         for k, v in other.likelihoods.items():
@@ -130,17 +155,20 @@ class GenotypeLikelihoods:
         """Phred-scaled GQ = -10*log10(1 - P(gt)), 10000 if P(gt)==1.
 
         Requires normalized likelihoods (src/genotypingresult.cpp:118-137).
+        Computed in 80-bit extended precision (np.longdouble on x86-64)
+        to match the reference's long double — near-certain genotypes
+        have 1 - P(gt) ~ 1e-19, which float64 rounds away.
         """
-        import math
+        import numpy as np
 
         total = sum(self.likelihoods.values())
         if abs(total - 1.0) > 1e-10:
             raise RuntimeError(
                 "GenotypeLikelihoods: genotype quality requires normalized likelihoods."
             )
-        prob_wrong = 1.0 - self.get_genotype_likelihood(a1, a2)
+        prob_wrong = np.longdouble(1.0) - self.get_genotype_likelihood(a1, a2)
         if prob_wrong > 0.0:
-            return int(-10 * math.log10(prob_wrong))
+            return int(-10 * np.log10(prob_wrong))
         return 10000
 
 
