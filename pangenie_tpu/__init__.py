@@ -22,3 +22,19 @@ re-architected for TPU):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# The reference-parity genotyping path accumulates per-column
+# likelihoods spanning ~1e-60 .. 1 — the HMM scans run in float64
+# (TPU executes f64 via software emulation; the performance path uses
+# rescaled f32/bf16 kernels selected explicitly).
+_jax.config.update("jax_enable_x64", True)
+
+if _os.environ.get("PANGENIE_TPU_PLATFORM"):
+    # Select the JAX platform explicitly (e.g. "cpu" for tests/CI,
+    # "tpu" in production). Done via jax.config because site hooks may
+    # override the JAX_PLATFORMS env var at interpreter start.
+    _jax.config.update("jax_platforms", _os.environ["PANGENIE_TPU_PLATFORM"])

@@ -1,0 +1,670 @@
+"""Pipeline drivers: index / genotype / single / vcf / sampling.
+
+Python equivalents of the reference command orchestration
+(src/commands.cpp): same phase structure, same intermediate artifacts
+(path-segments FASTA, per-chromosome kmer TSVs, serialized graphs +
+unique-kmer maps), same defaults. Cereal archives are replaced by
+pickle files; the kmer TSV format is byte-compatible with the
+reference's (`#chromosome\tstart\tend\tunique_kmers\tunique_kmers_overhang`).
+
+Threading differences are intentional: the reference dispatches one
+CPU thread per chromosome; here the HMM work runs as JAX scans (the
+device is the parallelism), and host-side phases run sequentially.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from .hmm.genotyping import PairHMM
+from .hmm.sampling import HaplotypeSampler
+from .kmers.counter import ExactKmerCounter, KmerCounter
+from .kmers.unique import StepwiseUniqueKmerComputer, UniqueKmerComputer, UniqueKmersRecord
+from .model.probabilities import ProbabilityTable
+from .panel.builder import PanelBuilder
+from .panel.graph import ChromosomeGraph
+from .panel.sampling import PathSampler
+from .panel.variant import GenotypeLikelihoods, SampledPanel
+
+
+def check_input_file(filename: str) -> None:
+    """Reject gzipped inputs, as the reference does
+    (src/commands.cpp:42-56)."""
+    if filename.endswith(".gz"):
+        raise RuntimeError(
+            f"File: {filename} is gzipped. PanGenie requires an uncompressed file."
+        )
+    if not os.path.exists(filename):
+        raise RuntimeError(f"File: {filename} does not exist.")
+
+
+@dataclass
+class UniqueKmersMap:
+    """Serialized index payload (reference src/commands.hpp:11-28)."""
+
+    kmersize: int = 0
+    add_reference: bool = False
+    unique_kmers: Dict[str, List[UniqueKmersRecord]] = field(default_factory=dict)
+    runtimes: Dict[str, float] = field(default_factory=dict)
+    sampling_runtimes: Dict[str, float] = field(default_factory=dict)
+
+
+@dataclass
+class Results:
+    """Genotyping results per chromosome (src/commands.cpp:59-73)."""
+
+    result: Dict[str, List[GenotypeLikelihoods]] = field(default_factory=dict)
+    runtimes: Dict[str, float] = field(default_factory=dict)
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr)
+
+
+def _save(obj, filename: str) -> None:
+    with open(filename, "wb") as f:
+        pickle.dump(obj, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def _load(filename: str):
+    with open(filename, "rb") as f:
+        return pickle.load(f)
+
+
+def _read_counter(
+    readfile: str, segment_file: str, kmersize: int, count_only_graph: bool
+) -> KmerCounter:
+    if readfile.endswith(".jf"):
+        raise RuntimeError(
+            "Jellyfish .jf databases are not supported by the TPU rebuild; "
+            "provide reads in FASTA/FASTQ format."
+        )
+    _log("Count kmers in reads ...")
+    if count_only_graph:
+        return ExactKmerCounter.count_file_primed(readfile, [segment_file], kmersize)
+    return ExactKmerCounter.count_file(readfile, kmersize)
+
+
+# ---------------------------------------------------------------------------
+# index
+# ---------------------------------------------------------------------------
+
+
+def run_index_command(
+    reffile: str,
+    vcffile: str,
+    kmersize: int,
+    outname: str,
+    nr_jellyfish_threads: int = 1,
+    add_reference: bool = True,
+) -> int:
+    """PanGenie-index (reference src/commands.cpp:592-728)."""
+    check_input_file(reffile)
+    check_input_file(vcffile)
+
+    t0 = time.monotonic()
+    segment_file = outname + "_path_segments.fasta"
+    unique_kmers_list = UniqueKmersMap(kmersize=kmersize, add_reference=add_reference)
+
+    _log("Determine allele sequences ...")
+    builder = PanelBuilder(vcffile, reffile, segment_file, kmersize, add_reference)
+    chromosomes = builder.get_chromosomes()
+    _log(f"Found {len(chromosomes)} chromosome(s) in the VCF.")
+
+    _log("Count kmers in graph ...")
+    genomic_kmer_counts = ExactKmerCounter.count_file(segment_file, kmersize)
+
+    _log("Serialize Graph objects ...")
+    for chromosome in chromosomes:
+        _save(builder.graphs[chromosome], f"{outname}_{chromosome}_Graph.pkl")
+
+    _log("Determine unique kmers ...")
+    for chromosome in chromosomes:
+        t = time.monotonic()
+        graph = builder.graphs[chromosome]
+        computer = StepwiseUniqueKmerComputer(genomic_kmer_counts, graph)
+        records = computer.compute_unique_kmers(
+            f"{outname}_{chromosome}_kmers.tsv.gz", delete_processed_variants=True
+        )
+        unique_kmers_list.unique_kmers[chromosome] = records
+        unique_kmers_list.runtimes[chromosome] = time.monotonic() - t
+
+    _log("Storing unique kmer information ...")
+    _save(unique_kmers_list, outname + "_UniqueKmersMap.pkl")
+
+    _log(f"total wallclock time PanGenie-index: {time.monotonic() - t0:.2f} sec")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# genotype (from index)
+# ---------------------------------------------------------------------------
+
+
+def fill_read_kmercounts(
+    chromosome: str,
+    unique_kmers_map: UniqueKmersMap,
+    read_kmer_counts: KmerCounter,
+    probabilities: ProbabilityTable,
+    precomputed_prefix: str,
+    kmer_coverage: int,
+    panel_size: int,
+    recombrate: float,
+    effective_N: float,
+    add_reference: bool,
+    output_paths: str,
+    allele_penalty: int,
+) -> None:
+    """Stream the kmer TSV, fill read counts + local coverage, then run
+    haplotype sampling (reference src/commands.cpp:76-152)."""
+    import gzip
+
+    filename = f"{precomputed_prefix}_{chromosome}_kmers.tsv.gz"
+    records = unique_kmers_map.unique_kmers[chromosome]
+    min_cov = kmer_coverage // 4
+    max_cov = kmer_coverage * 4
+    var_index = 0
+    with gzip.open(filename, "rt") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            tokens = line.split("\t")
+            assert len(tokens) == 5
+            if tokens[0].startswith("#"):
+                continue
+            assert tokens[0] == chromosome
+            record = records[var_index]
+            assert int(tokens[1]) == record.get_variant_position()
+            kmers = tokens[3].split(",") if tokens[3] != "nan" else []
+            flanking = tokens[4].split(",") if tokens[4] != "nan" else []
+
+            for i, kmer in enumerate(kmers):
+                count = read_kmer_counts.get_kmer_abundance(kmer)
+                probs = probabilities.get_probability(kmer_coverage, count)
+                if not (probs[0] > 0 or probs[1] > 0 or probs[2] > 0):
+                    _log(
+                        f"Warning: only zero probabilities for {kmer} at "
+                        f"{chromosome} {tokens[1]}"
+                    )
+                record.update_readcount(i, count)
+
+            # local coverage from flanking kmers (reference
+            # src/kmerparser.cpp:30-49: every TSV kmer considered, counts
+            # outside [peak/4, 4*peak] skipped, int division, fallback peak)
+            total_coverage = 0
+            total_kmers = 0
+            for kmer in flanking:
+                count = read_kmer_counts.get_kmer_abundance(kmer)
+                if count < min_cov or count > max_cov:
+                    continue
+                total_coverage += count
+                total_kmers += 1
+            if total_kmers > 0 and total_coverage > 0:
+                record.set_coverage(total_coverage // total_kmers)
+            else:
+                record.set_coverage(kmer_coverage)
+            var_index += 1
+
+    t = time.monotonic()
+    HaplotypeSampler(
+        records,
+        panel_size,
+        recombrate,
+        effective_N,
+        None,
+        add_reference,
+        output_paths,
+        chromosome,
+        allele_penalty,
+    )
+    unique_kmers_map.sampling_runtimes[chromosome] = time.monotonic() - t
+
+
+def _genotyping_block(
+    chromosomes: List[str],
+    unique_kmers_list: UniqueKmersMap,
+    probabilities: ProbabilityTable,
+    results: Results,
+    only_genotyping: bool,
+    only_phasing: bool,
+    effective_N: float,
+    recombrate: float,
+    sampling_size: int,
+    output_panel: bool,
+    chrom_to_sampled: Dict[str, List[SampledPanel]],
+) -> None:
+    """Shared genotyping/phasing section
+    (reference src/commands.cpp:908-1009)."""
+    nr_paths = 0
+    for chromosome in chromosomes:
+        records = unique_kmers_list.unique_kmers[chromosome]
+        if records:
+            nr_paths = records[0].get_nr_paths()
+            break
+
+    if sampling_size == 0 or sampling_size > nr_paths:
+        sampling_size = nr_paths
+
+    path_sampler = PathSampler(nr_paths)
+    subsets: List[List[int]] = []
+    path_sampler.partition_samples(subsets, sampling_size)
+
+    if not only_phasing:
+        _log(
+            f"Sampled {len(subsets)} subset(s) of paths each of size "
+            f"{sampling_size} for genotyping."
+        )
+
+    phasing_paths: List[int] = []
+    nr_phasing_paths = min(nr_paths, 30)
+    path_sampler.select_single_subset(phasing_paths, nr_phasing_paths)
+    if not only_genotyping:
+        _log(f"Sampled {len(phasing_paths)} paths to be used for phasing.")
+
+    _log("Construct HMM and run core algorithm ...")
+    for chromosome in chromosomes:
+        records = unique_kmers_list.unique_kmers[chromosome]
+        t = time.monotonic()
+        runs: List[PairHMM] = []
+        if not only_genotyping:
+            runs.append(
+                PairHMM(
+                    records, probabilities, False, True, recombrate,
+                    False, effective_N, phasing_paths, normalize=False,
+                )
+            )
+        if not only_phasing:
+            for subset in subsets:
+                runs.append(
+                    PairHMM(
+                        records, probabilities, True, False, recombrate,
+                        False, effective_N, subset, normalize=False,
+                    )
+                )
+        for hmm in runs:
+            if chromosome not in results.result:
+                results.result[chromosome] = hmm.move_genotyping_result()
+            else:
+                stored = results.result[chromosome]
+                for i, likelihoods in enumerate(hmm.move_genotyping_result()):
+                    stored[i].combine(likelihoods)
+        results.runtimes[chromosome] = (
+            results.runtimes.get(chromosome, 0.0) + time.monotonic() - t
+        )
+
+    if not only_phasing:
+        for chromosome in chromosomes:
+            for g in results.result[chromosome]:
+                g.normalize()
+
+    if output_panel:
+        for chromosome in chromosomes:
+            for record in unique_kmers_list.unique_kmers[chromosome]:
+                _, allele_ids = record.get_path_ids()
+                chrom_to_sampled.setdefault(chromosome, []).append(
+                    SampledPanel(allele_ids, record.size())
+                )
+
+
+def _write_outputs(
+    chromosomes: List[str],
+    results: Results,
+    precomputed_prefix: str,
+    outname: str,
+    sample_name: str,
+    only_genotyping: bool,
+    only_phasing: bool,
+    ignore_imputed: bool,
+    output_panel: bool,
+    chrom_to_sampled: Dict[str, List[SampledPanel]],
+    serialize_output: bool,
+) -> None:
+    if serialize_output:
+        _log("Serialize results ... ")
+        _save(results, outname + "_genotyping.pkl")
+        return
+    _log("Write results to VCF ...")
+    write_header = True
+    for chromosome in chromosomes:
+        graph: ChromosomeGraph = _load(
+            f"{precomputed_prefix}_{chromosome}_Graph.pkl"
+        )
+        if not only_phasing:
+            graph.write_genotypes(
+                outname + "_genotyping.vcf", results.result[chromosome],
+                write_header, sample_name, ignore_imputed,
+            )
+        if not only_genotyping:
+            graph.write_phasing(
+                outname + "_phasing.vcf", results.result[chromosome],
+                write_header, sample_name, ignore_imputed,
+            )
+        if output_panel:
+            graph.write_sampled_panel(
+                outname + "_panel.vcf", chrom_to_sampled[chromosome],
+                write_header,
+            )
+        write_header = False
+
+
+def run_genotype_command(
+    precomputed_prefix: str,
+    readfile: str,
+    outname: str,
+    sample_name: str = "sample",
+    nr_jellyfish_threads: int = 1,
+    nr_core_threads: int = 1,
+    only_genotyping: bool = True,
+    only_phasing: bool = False,
+    effective_N: float = 0.00001,
+    regularization: float = 0.01,
+    count_only_graph: bool = True,
+    ignore_imputed: bool = False,
+    sampling_size: int = 0,
+    panel_size: int = 0,
+    recombrate: float = 1.26,
+    output_panel: bool = False,
+    sampling_effective_N: float = 0.01,
+    allele_penalty: int = 5,
+    serialize_output: bool = False,
+) -> int:
+    """PanGenie genotype from index (reference src/commands.cpp:730-1086)."""
+    check_input_file(readfile)
+    segment_file = precomputed_prefix + "_path_segments.fasta"
+    check_input_file(segment_file)
+
+    results = Results()
+    chrom_to_sampled: Dict[str, List[SampledPanel]] = {}
+
+    archive = precomputed_prefix + "_UniqueKmersMap.pkl"
+    check_input_file(archive)
+    _log(f"Reading precomputed UniqueKmersMap from {archive} ...")
+    unique_kmers_list: UniqueKmersMap = _load(archive)
+
+    # std::map iteration order: chromosome names sorted
+    chromosomes = sorted(unique_kmers_list.unique_kmers.keys())
+    nr_paths = 0
+    variants_read = 0
+    for chromosome in chromosomes:
+        records = unique_kmers_list.unique_kmers[chromosome]
+        if records:
+            nr_paths = records[0].get_nr_paths()
+            variants_read += len(records)
+    _log(f"Read {variants_read} variants from provided UniqueKmersMap archive.")
+    if variants_read == 0:
+        return 0
+    if nr_paths == 0:
+        raise RuntimeError("PanGenie-index: no haplotype paths given.")
+
+    if panel_size == 0 and sampling_size == 0 and nr_paths > 100:
+        panel_size = 15
+        _log(
+            "Number of haplotypes exceeds 100, enable haplotype sampling "
+            "(15 haplotypes)"
+        )
+
+    kmersize = unique_kmers_list.kmersize
+    read_kmer_counts = _read_counter(readfile, segment_file, kmersize, count_only_graph)
+
+    kmer_abundance_peak = read_kmer_counts.compute_histogram(
+        10000, count_only_graph, outname + "_histogram.histo"
+    )
+    _log(f"Computed kmer abundance peak: {kmer_abundance_peak}")
+
+    probabilities = ProbabilityTable(
+        kmer_abundance_peak // 4,
+        kmer_abundance_peak * 4,
+        2 * kmer_abundance_peak,
+        regularization,
+    )
+
+    _log("Determine read k-mer counts for unique kmers ...")
+    for chromosome in chromosomes:
+        output_paths = ""
+        if output_panel:
+            output_paths = f"{outname}_paths_{chromosome}.tsv"
+        fill_read_kmercounts(
+            chromosome, unique_kmers_list, read_kmer_counts, probabilities,
+            precomputed_prefix, kmer_abundance_peak, panel_size, recombrate,
+            sampling_effective_N, unique_kmers_list.add_reference,
+            output_paths, allele_penalty,
+        )
+
+    _genotyping_block(
+        chromosomes, unique_kmers_list, probabilities, results,
+        only_genotyping, only_phasing, effective_N, recombrate,
+        sampling_size, output_panel, chrom_to_sampled,
+    )
+
+    _write_outputs(
+        chromosomes, results, precomputed_prefix, outname, sample_name,
+        only_genotyping, only_phasing, ignore_imputed, output_panel,
+        chrom_to_sampled, serialize_output,
+    )
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# single command (index + genotype fused)
+# ---------------------------------------------------------------------------
+
+
+def run_single_command(
+    readfile: str,
+    reffile: str,
+    vcffile: str,
+    kmersize: int = 31,
+    outname: str = "result",
+    sample_name: str = "sample",
+    nr_jellyfish_threads: int = 1,
+    nr_core_threads: int = 1,
+    only_genotyping: bool = True,
+    only_phasing: bool = False,
+    effective_N: float = 0.00001,
+    regularization: float = 0.01,
+    count_only_graph: bool = True,
+    ignore_imputed: bool = False,
+    add_reference: bool = True,
+    sampling_size: int = 0,
+    panel_size: int = 0,
+    recombrate: float = 1.26,
+    output_panel: bool = False,
+    sampling_effective_N: float = 0.01,
+    allele_penalty: int = 5,
+    serialize_output: bool = False,
+) -> int:
+    """PanGenie single command (reference src/commands.cpp:224-590)."""
+    check_input_file(reffile)
+    check_input_file(vcffile)
+    check_input_file(readfile)
+
+    results = Results()
+    chrom_to_sampled: Dict[str, List[SampledPanel]] = {}
+    segment_file = outname + "_path_segments.fasta"
+
+    unique_kmers_list = UniqueKmersMap(kmersize=kmersize, add_reference=add_reference)
+
+    _log("Determine allele sequences ...")
+    builder = PanelBuilder(vcffile, reffile, segment_file, kmersize, add_reference)
+    nr_paths = builder.nr_of_paths()
+    if panel_size == 0 and sampling_size == 0 and nr_paths > 100:
+        panel_size = 15
+        _log(
+            "Number of haplotypes exceeds 100, enable haplotype sampling "
+            "(15 haplotypes)"
+        )
+    chromosomes = builder.get_chromosomes()
+    _log(f"Found {len(chromosomes)} chromosome(s) in the VCF.")
+
+    _log("Count kmers in graph ...")
+    genomic_kmer_counts = ExactKmerCounter.count_file(segment_file, kmersize)
+
+    read_kmer_counts = _read_counter(readfile, segment_file, kmersize, count_only_graph)
+
+    kmer_abundance_peak = read_kmer_counts.compute_histogram(
+        10000, count_only_graph, outname + "_histogram.histo"
+    )
+    _log(f"Computed kmer abundance peak: {kmer_abundance_peak}")
+
+    probabilities = ProbabilityTable(
+        kmer_abundance_peak // 4,
+        kmer_abundance_peak * 4,
+        2 * kmer_abundance_peak,
+        regularization,
+    )
+
+    # serialize graphs so they can be re-loaded for output writing after
+    # streaming deletion (reference src/commands.cpp:343-347)
+    _log("Serialize Graph objects ...")
+    for chromosome in chromosomes:
+        _save(builder.graphs[chromosome], f"{outname}_{chromosome}_Graph.pkl")
+
+    _log("Determine unique kmers ...")
+    for chromosome in chromosomes:
+        graph = builder.graphs[chromosome]
+        computer = UniqueKmerComputer(
+            genomic_kmer_counts, read_kmer_counts, graph, kmer_abundance_peak
+        )
+        records = computer.compute_unique_kmers(
+            probabilities, delete_processed_variants=True
+        )
+        unique_kmers_list.unique_kmers[chromosome] = records
+        output_paths = ""
+        if output_panel:
+            output_paths = f"{outname}_paths_{chromosome}.tsv"
+        HaplotypeSampler(
+            records, panel_size, recombrate, sampling_effective_N, None,
+            add_reference, output_paths, chromosome, allele_penalty,
+        )
+
+    _genotyping_block(
+        chromosomes, unique_kmers_list, probabilities, results,
+        only_genotyping, only_phasing, effective_N, recombrate,
+        sampling_size, output_panel, chrom_to_sampled,
+    )
+
+    _write_outputs(
+        chromosomes, results, outname, outname, sample_name,
+        only_genotyping, only_phasing, ignore_imputed, output_panel,
+        chrom_to_sampled, serialize_output,
+    )
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# vcf (serialized results -> VCF)
+# ---------------------------------------------------------------------------
+
+
+def run_vcf_command(
+    precomputed_prefix: str,
+    results_name: str,
+    outname: str,
+    sample_name: str = "sample",
+    only_genotyping: bool = True,
+    only_phasing: bool = False,
+    ignore_imputed: bool = False,
+) -> int:
+    """PanGenie-vcf (reference src/commands.cpp:1088-1154)."""
+    _log(f"Reading serialized genotyping results from {results_name}")
+    results: Results = _load(results_name)
+
+    _log("Write results to VCF ...")
+    write_header = True
+    for chromosome in sorted(results.result.keys()):
+        graph: ChromosomeGraph = _load(
+            f"{precomputed_prefix}_{chromosome}_Graph.pkl"
+        )
+        if not only_phasing:
+            graph.write_genotypes(
+                outname + "_genotyping.vcf", results.result[chromosome],
+                write_header, sample_name, ignore_imputed,
+            )
+        if not only_genotyping:
+            graph.write_phasing(
+                outname + "_phasing.vcf", results.result[chromosome],
+                write_header, sample_name, ignore_imputed,
+            )
+        write_header = False
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# sampling (standalone panel reduction -> panel VCF)
+# ---------------------------------------------------------------------------
+
+
+def run_sampling(
+    precomputed_prefix: str,
+    readfile: str,
+    outname: str,
+    nr_jellyfish_threads: int = 1,
+    nr_core_threads: int = 1,
+    regularization: float = 0.01,
+    count_only_graph: bool = True,
+    panel_size: int = 0,
+    recombrate: float = 1.26,
+    sampling_effective_N: float = 0.01,
+    allele_penalty: int = 5,
+) -> int:
+    """PanGenie-sampling (reference src/commands.cpp:1156-1360)."""
+    check_input_file(readfile)
+    segment_file = precomputed_prefix + "_path_segments.fasta"
+    check_input_file(segment_file)
+
+    chrom_to_sampled: Dict[str, List[SampledPanel]] = {}
+
+    archive = precomputed_prefix + "_UniqueKmersMap.pkl"
+    check_input_file(archive)
+    unique_kmers_list: UniqueKmersMap = _load(archive)
+    chromosomes = sorted(unique_kmers_list.unique_kmers.keys())
+
+    variants_read = sum(
+        len(unique_kmers_list.unique_kmers[c]) for c in chromosomes
+    )
+    if variants_read == 0:
+        return 0
+
+    kmersize = unique_kmers_list.kmersize
+    read_kmer_counts = _read_counter(readfile, segment_file, kmersize, count_only_graph)
+    kmer_abundance_peak = read_kmer_counts.compute_histogram(
+        10000, count_only_graph, outname + "_histogram.histo"
+    )
+    probabilities = ProbabilityTable(
+        kmer_abundance_peak // 4,
+        kmer_abundance_peak * 4,
+        2 * kmer_abundance_peak,
+        regularization,
+    )
+
+    for chromosome in chromosomes:
+        # sampling always writes the paths TSV (src/commands.cpp:1285)
+        fill_read_kmercounts(
+            chromosome, unique_kmers_list, read_kmer_counts, probabilities,
+            precomputed_prefix, kmer_abundance_peak, panel_size, recombrate,
+            sampling_effective_N, unique_kmers_list.add_reference,
+            f"{outname}_paths_{chromosome}.tsv", allele_penalty,
+        )
+        for record in unique_kmers_list.unique_kmers[chromosome]:
+            _, allele_ids = record.get_path_ids()
+            chrom_to_sampled.setdefault(chromosome, []).append(
+                SampledPanel(allele_ids, record.size())
+            )
+
+    _log("Write sampled panel to VCF ...")
+    write_header = True
+    for chromosome in chromosomes:
+        graph: ChromosomeGraph = _load(
+            f"{precomputed_prefix}_{chromosome}_Graph.pkl"
+        )
+        graph.write_sampled_panel(
+            outname + "_panel.vcf", chrom_to_sampled[chromosome], write_header
+        )
+        write_header = False
+    return 0
