@@ -33,16 +33,16 @@ def main() -> None:
     )
     device_cols = type(columns)(*[jnp.asarray(x) for x in columns])
 
-    fb = jax.jit(jax.vmap(lambda c: forward_backward(c, safe=False)))
+    fb = jax.jit(jax.vmap(forward_backward))
 
     # compile + warm up
-    fb(device_cols)[0].block_until_ready()
+    jax.block_until_ready(fb(device_cols))
 
     runs = 5
     start = time.perf_counter()
     for _ in range(runs):
         out = fb(device_cols)
-    out.block_until_ready()
+    jax.block_until_ready(out)
     elapsed = (time.perf_counter() - start) / runs
 
     columns_per_sec = B * N / elapsed

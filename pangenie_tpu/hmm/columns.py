@@ -37,9 +37,9 @@ class HMMColumns:
     positions: np.ndarray        # [N] variant positions (for transitions)
     paths: np.ndarray            # [P] global path ids of this subset
     alleles: np.ndarray          # [N, P] global allele id per path
-    undefined: np.ndarray        # [N, P] allele-of-path is undefined
+    undefined: np.ndarray        # [N, A] local allele is undefined
     kmer_counts: np.ndarray      # [N, K] read counts (padded 0)
-    kmer_alleles: np.ndarray     # [N, K] allele id of each kmer (-1 pad)
+    incidence: np.ndarray        # [N, K, A] kmer-on-(local)allele
     kmer_mask: np.ndarray        # [N, K] valid kmer
     coverage: np.ndarray         # [N] local coverage
     log_probs: np.ndarray        # [N, K, 3] log P(count | CN)
@@ -117,14 +117,15 @@ def _compute_all_zeros(
     records: Sequence[UniqueKmersRecord],
     kept: np.ndarray,
     probs: np.ndarray,
-    kmer_alleles: np.ndarray,
     kmer_mask: np.ndarray,
 ) -> np.ndarray:
     """Per-column flag: full-panel emission matrix identically zero.
 
-    (reference src/emissionprobabilitycomputer.cpp:9-29). Exact zeros
-    only arise from zero copy-number probabilities (e.g. test-injected
-    overrides), so columns with all-positive probs short-circuit.
+    (reference src/emissionprobabilitycomputer.cpp:9-29). Checked over
+    ALL allele ids the record knows (including alleles introduced only
+    by kmers). Exact zeros only arise from zero copy-number
+    probabilities (e.g. test-injected overrides), so columns with
+    all-positive probs short-circuit.
     """
     N = len(kept)
     all_zeros = np.zeros(N, dtype=bool)
@@ -133,22 +134,24 @@ def _compute_all_zeros(
         record = records[kept[n]]
         allele_ids = record.get_allele_ids()
         col_probs = probs[n]
-        k_alleles = kmer_alleles[n]
         k_mask = kmer_mask[n]
         found_nonzero = False
         for a1 in allele_ids:
             for a2 in allele_ids:
                 u1, u2 = record.is_undefined_allele(a1), record.is_undefined_allele(a2)
                 value = 1.0
-                for ki in range(len(k_alleles)):
+                for ki in range(record.size()):
                     if not k_mask[ki]:
                         continue
-                    expected = int(k_alleles[ki] == a1) + int(k_alleles[ki] == a2)
+                    expected = int(record.kmer_on_allele(ki, a1)) + int(
+                        record.kmer_on_allele(ki, a2)
+                    )
                     if u1 and u2:
                         value *= (
                             col_probs[ki, 0] + col_probs[ki, 1] + col_probs[ki, 2]
                         ) / 3.0
                     elif u1 or u2:
+                        expected = min(expected, 1)
                         value *= 0.5 * (
                             col_probs[ki, expected] + col_probs[ki, expected + 1]
                         )
@@ -205,9 +208,9 @@ def build_columns(
             positions=np.zeros(0, dtype=np.int64),
             paths=paths_arr,
             alleles=np.zeros((0, P), dtype=np.int32),
-            undefined=np.zeros((0, P), dtype=bool),
+            undefined=np.zeros((0, 1), dtype=bool),
             kmer_counts=np.zeros((0, K), dtype=np.int32),
-            kmer_alleles=np.full((0, K), -1, dtype=np.int32),
+            incidence=np.zeros((0, K, 1), dtype=bool),
             kmer_mask=np.zeros((0, K), dtype=bool),
             coverage=np.zeros(0, dtype=np.int32),
             log_probs=np.zeros((0, K, 3), dtype=np.float64),
@@ -222,9 +225,7 @@ def build_columns(
 
     positions = np.zeros(N, dtype=np.int64)
     alleles = np.zeros((N, P), dtype=np.int32)
-    undefined = np.zeros((N, P), dtype=bool)
     kmer_counts = np.zeros((N, K), dtype=np.int32)
-    kmer_alleles = np.full((N, K), -1, dtype=np.int32)
     kmer_mask = np.zeros((N, K), dtype=bool)
     coverage = np.zeros(N, dtype=np.int32)
 
@@ -237,13 +238,9 @@ def build_columns(
         positions[n] = record.get_variant_position()
         coverage[n] = record.get_coverage()
         for j, p in enumerate(paths):
-            a = record.get_allele(p)
-            alleles[n, j] = a
-            undefined[n, j] = record.is_undefined_allele(a)
+            alleles[n, j] = record.get_allele(p)
         for ki in range(record.size()):
             kmer_counts[n, ki] = record.get_readcount_of(ki)
-            # each selected kmer lies on exactly one allele
-            kmer_alleles[n, ki] = record.kmer_alleles[ki][0]
             kmer_mask[n, ki] = True
         locals_n = sorted(set(record.path_to_allele))
         local_allele_lists.append(locals_n)
@@ -252,18 +249,28 @@ def build_columns(
     local_alleles = np.full((N, A), -1, dtype=np.int32)
     allele_local = np.zeros((N, P), dtype=np.int32)
     nr_local = np.zeros(N, dtype=np.int32)
+    incidence = np.zeros((N, K, A), dtype=bool)
+    undefined = np.zeros((N, A), dtype=bool)
     for n in range(N):
+        record = records[kept[n]]
         locals_n = local_allele_lists[n]
         nr_local[n] = len(locals_n)
         local_alleles[n, : len(locals_n)] = locals_n
         lookup = {a: i for i, a in enumerate(locals_n)}
+        for li, a in enumerate(locals_n):
+            undefined[n, li] = record.is_undefined_allele(a)
         for j in range(P):
             allele_local[n, j] = lookup[int(alleles[n, j])]
+        for ki in range(record.size()):
+            for a in record.kmer_alleles[ki]:
+                li = lookup.get(int(a))
+                if li is not None:
+                    incidence[n, ki, li] = True
 
     probs = _probability_grid(probabilities, coverage, kmer_counts, kmer_mask)
     with np.errstate(divide="ignore"):
         log_probs = np.where(probs > 0, np.log(np.maximum(probs, 1e-300)), -np.inf)
-    all_zeros = _compute_all_zeros(records, kept_arr, probs, kmer_alleles, kmer_mask)
+    all_zeros = _compute_all_zeros(records, kept_arr, probs, kmer_mask)
 
     return HMMColumns(
         variant_ids=kept_arr,
@@ -272,7 +279,7 @@ def build_columns(
         alleles=alleles,
         undefined=undefined,
         kmer_counts=kmer_counts,
-        kmer_alleles=kmer_alleles,
+        incidence=incidence,
         kmer_mask=kmer_mask,
         coverage=coverage,
         log_probs=log_probs,

@@ -2,28 +2,38 @@
 
 The reference builds a dense [allele x allele] probability matrix per
 column by multiplying per-kmer copy-number probabilities
-(src/emissionprobabilitycomputer.cpp:36-53). Here the log-emission over
-path-pair states factorizes MXU-friendly:
+(src/emissionprobabilitycomputer.cpp:36-53):
 
-With u[k, p] = 1{kmer k lies on the allele of path p} and per-kmer log
-probs lp[k, c] for copy number c = u[k, p1] + u[k, p2] in {0, 1, 2}:
+  E[a1, a2] = prod_k P(count_k | c),  c = u[k, a1] + u[k, a2]
 
-  logE[p1, p2] = sum_k lp[k, u1 + u2]
-               = S0 + v[p1] + v[p2] + Q[p1, p2]
-  S0 = sum_k lp0[k]
-  v  = u^T (lp1 - lp0)                      (matvec)
-  Q  = u^T diag(lp0 - 2 lp1 + lp2) u        (matmul, MXU)
+with u the kmer x allele incidence (a kmer may lie on zero, one or
+several alleles). We compute the log-emission the same way — in ALLELE
+space [A, A] (A = distinct alleles in the column, usually 2), then
+gather to the [P, P] path-pair state space:
 
-Undefined alleles marginalize over copy numbers (reference
-src/emissionprobabilitycomputer.cpp:40-46):
-  both undefined:  sum_k log((p0 + p1 + p2) / 3)
-  one undefined:   sum_k log(0.5 * (p[u] + p[u+1])), u from the defined path
+  logEA[a1, a2] = sum_k lp[k, u1 + u2]
+  logE[p1, p2]  = logEA[local_allele(p1), local_allele(p2)]
+
+Computing in allele space is both cheaper (O(K A^2) + O(P^2) gather
+instead of O(K P^2)) and tie-exact: states carrying the same allele
+pair share ONE matrix entry, so the exact-equality structure the
+reference's Viterbi tie-breaking relies on (same emission for (i,j)
+and (j,i)) holds bitwise, which a per-state matmul formulation does
+not guarantee under XLA reduction reordering.
+
+Undefined alleles marginalize over copy numbers
+(src/emissionprobabilitycomputer.cpp:40-46):
+  both undefined: prod_k (p0 + p1 + p2) / 3                  (u-independent)
+  one undefined:  prod_k 0.5 * (p[c] + p[c+1]),  c = u1 + u2 (asserted < 2)
+The c < 2 assertion holds whenever kmers never lie on an undefined
+allele (true for the real selection pipeline); we clamp c to 1 instead
+of reproducing the reference's out-of-bounds read.
 
 An all-zero emission matrix (possible only when zero probabilities are
 injected) makes the column uniform: logE = 0 (reference `all_zeros`).
 
-A "safe" selection-based path avoids inf-arithmetic when -inf log probs
-are present (zero probabilities); the fast path assumes finite lp.
+Zero probabilities (-inf logs) are handled by the same selection form
+used for finite values — no inf*0 arithmetic arises.
 """
 
 from __future__ import annotations
@@ -32,60 +42,61 @@ import jax
 import jax.numpy as jnp
 
 
-def log_emission_column(
-    lp,          # [K, 3] log probs (may contain -inf on safe path)
-    pr,          # [K, 3] linear probs
-    kmer_allele, # [K] allele id per kmer (-1 pad)
-    kmer_mask,   # [K] bool
-    alleles,     # [P] global allele id per path
-    undefined,   # [P] bool
-    all_zeros,   # scalar bool
-    scale,       # scalar: subset-independent log rescale (subtracted)
-    safe: bool,
+def log_emission_allele_matrix(
+    lp,            # [K, 3] log probs (may contain -inf)
+    pr,            # [K, 3] linear probs
+    incidence,     # [K, A] kmer-on-allele (bool/0-1)
+    kmer_mask,     # [K] bool
+    undefined,     # [A] bool — allele is undefined
+    all_zeros,     # scalar bool
+    scale,         # scalar: subset-independent log rescale (subtracted)
 ):
-    """Return logE [P, P] for one column (rescaled by -scale)."""
-    dtype = lp.dtype
-    u = (kmer_allele[:, None] == alleles[None, :]) & kmer_mask[:, None]  # [K,P]
-    uf = u.astype(dtype)
+    """Return logEA [A, A] for one column (rescaled by -scale)."""
+    inc = incidence.astype(jnp.int32)
+    c = inc[:, :, None] + inc[:, None, :]  # [K, A, A] in {0, 1, 2}
 
-    # undefined-allele marginal terms (linear space, then log); selection
-    # form so -inf logs (zero probabilities) never meet multiplication
+    # defined-defined: select lp[k, c]
+    contrib = jnp.where(
+        c == 0, lp[:, 0, None, None],
+        jnp.where(c == 1, lp[:, 1, None, None], lp[:, 2, None, None]),
+    )
+    logE_dd = jnp.sum(
+        jnp.where(kmer_mask[:, None, None], contrib, 0.0), axis=0
+    )  # [A, A]
+
+    # undefined marginals (linear space, then log)
     p0, p1, p2 = pr[:, 0], pr[:, 1], pr[:, 2]
-    ru0 = jnp.log(0.5 * (p0 + p1))
-    ru1 = jnp.log(0.5 * (p1 + p2))
+    g0 = jnp.log(0.5 * (p0 + p1))
+    g1 = jnp.log(0.5 * (p1 + p2))
+    contrib_r = jnp.where(c >= 1, g1[:, None, None], g0[:, None, None])
+    logR = jnp.sum(
+        jnp.where(kmer_mask[:, None, None], contrib_r, 0.0), axis=0
+    )  # [A, A]
     suu_k = jnp.log((p0 + p1 + p2) / 3.0)
     suu = jnp.sum(jnp.where(kmer_mask, suu_k, 0.0))
-    r_contrib = jnp.where(u, ru1[:, None], ru0[:, None])
-    r = jnp.sum(jnp.where(kmer_mask[:, None], r_contrib, 0.0), axis=0)  # [P]
-
-    if safe:
-        # selection-based: c[k,p1,p2] = u1 + u2, gather lp[k, c]
-        c = u[:, :, None].astype(jnp.int32) + u[:, None, :].astype(jnp.int32)
-        contrib = jnp.where(
-            c == 0, lp[:, 0, None, None],
-            jnp.where(c == 1, lp[:, 1, None, None], lp[:, 2, None, None]),
-        )
-        contrib = jnp.where(kmer_mask[:, None, None], contrib, 0.0)
-        logE_dd = jnp.sum(contrib, axis=0)  # [P, P]
-    else:
-        lp0 = jnp.where(kmer_mask, lp[:, 0], 0.0)
-        lp1 = jnp.where(kmer_mask, lp[:, 1], 0.0)
-        lp2 = jnp.where(kmer_mask, lp[:, 2], 0.0)
-        S0 = jnp.sum(lp0)
-        v = uf.T @ (lp1 - lp0)  # [P]
-        w = lp0 - 2.0 * lp1 + lp2
-        Q = (uf * w[:, None]).T @ uf  # [P, P] on the MXU
-        logE_dd = S0 + v[:, None] + v[None, :] + Q
 
     und1 = undefined[:, None]
     und2 = undefined[None, :]
-    logE = jnp.where(
-        und1 & und2,
-        suu,
-        jnp.where(und1, r[None, :], jnp.where(und2, r[:, None], logE_dd)),
+    logEA = jnp.where(und1 & und2, suu, jnp.where(und1 | und2, logR, logE_dd))
+    logEA = jnp.where(all_zeros, jnp.zeros_like(logEA), logEA - scale)
+    return logEA
+
+
+def log_emission_column(
+    lp,            # [K, 3]
+    pr,            # [K, 3]
+    incidence,     # [K, A]
+    kmer_mask,     # [K]
+    allele_local,  # [P] local allele index per path
+    undefined,     # [A] allele undefined flags
+    all_zeros,     # scalar bool
+    scale,         # scalar
+):
+    """Return logE [P, P]: allele-space matrix gathered to state space."""
+    logEA = log_emission_allele_matrix(
+        lp, pr, incidence, kmer_mask, undefined, all_zeros, scale
     )
-    logE = jnp.where(all_zeros, jnp.zeros_like(logE), logE - scale)
-    return logE
+    return logEA[jnp.ix_(allele_local, allele_local)]
 
 
 def emission_scale(log_probs, kmer_mask):

@@ -36,10 +36,10 @@ class ColumnArrays(NamedTuple):
 
     lp: jax.Array          # [N, K, 3]
     pr: jax.Array          # [N, K, 3]
-    kmer_allele: jax.Array # [N, K]
+    incidence: jax.Array   # [N, K, A] kmer-on-allele (local allele ids)
     kmer_mask: jax.Array   # [N, K]
-    alleles: jax.Array     # [N, P]
-    undefined: jax.Array   # [N, P]
+    alleles: jax.Array     # [N, P] global allele ids (host scatter only)
+    undefined: jax.Array   # [N, A] local allele undefined
     all_zeros: jax.Array   # [N]
     scale: jax.Array       # [N]
     trans: jax.Array       # [N, 3]; trans[n] = t(n-1 -> n), trans[0] unused
@@ -47,17 +47,16 @@ class ColumnArrays(NamedTuple):
     nr_local: jax.Array    # [N]
 
 
-def _emission(col: ColumnArrays, safe: bool):
+def _emission(col: ColumnArrays):
     return log_emission_column(
         col.lp,
         col.pr,
-        col.kmer_allele,
+        col.incidence,
         col.kmer_mask,
-        col.alleles,
+        col.allele_local,
         col.undefined,
         col.all_zeros,
         col.scale,
-        safe,
     )
 
 
@@ -77,17 +76,26 @@ def _mix_previous(alpha, t):
     )
 
 
-@partial(jax.jit, static_argnames=("safe",))
-def forward_backward(columns: ColumnArrays, safe: bool = False):
+@jax.jit
+def forward_backward(columns: ColumnArrays):
     """Run both passes; returns per-column allele-pair posteriors.
 
     Returns:
-      posteriors: [N, A, A] raw (unnormalized) genotype-likelihood
-        matrices; symmetric states are NOT collapsed (caller adds
-        G[i,j] + G[j,i] for i < j).
+      posteriors: [N, A, A] rescaled raw genotype-likelihood matrices;
+        symmetric states are NOT collapsed (caller adds G[i,j] + G[j,i]
+        for i < j).
+      log_correction: [N] per-column log factor such that the
+        reference's raw (long double) posterior equals
+        posteriors * exp(log_correction). The emissions are rescaled by
+        exp(-scale_n) on device to stay in f64/f32 range; the column's
+        posterior picks up exp(-(scale_n + scale_{n+1})) through the
+        forward normalization constant and the backward emission
+        (scale_{N-1} only for the last column). Undoing the factor in
+        extended precision host-side restores the reference's raw
+        values, which its cross-subset `combine` adds directly.
     """
     N, P = columns.alleles.shape
-    A = columns.allele_local.shape[1]
+    A = columns.incidence.shape[2]
     dtype = columns.lp.dtype
     uniform_val = jnp.asarray(1.0, dtype) / (P * P)
 
@@ -95,7 +103,7 @@ def forward_backward(columns: ColumnArrays, safe: bool = False):
     def fwd_step(carry, inputs):
         alpha_prev, is_first = carry
         col = inputs
-        E = jnp.exp(_emission(col, safe))
+        E = jnp.exp(_emission(col))
         prev = jnp.where(
             is_first, jnp.ones((P, P), dtype), _mix_previous(alpha_prev, col.trans)
         )
@@ -116,7 +124,7 @@ def forward_backward(columns: ColumnArrays, safe: bool = False):
     def bwd_step(carry, inputs):
         beta_next = carry
         alpha_n, c_n, col_next, is_last = inputs
-        E_next = jnp.exp(_emission(col_next, safe))
+        E_next = jnp.exp(_emission(col_next))
         helper = beta_next * E_next
         cur = jnp.where(
             is_last,
@@ -139,4 +147,9 @@ def forward_backward(columns: ColumnArrays, safe: bool = False):
     # ---- collapse to allele pairs (batched MXU matmuls) ----
     one_hot = jax.nn.one_hot(columns.allele_local, A, dtype=dtype)  # [N, P, A]
     posteriors = jnp.einsum("npa,npq,nqb->nab", one_hot, posts, one_hot)
-    return posteriors
+
+    next_scale = jnp.concatenate(
+        [columns.scale[1:], jnp.zeros(1, columns.scale.dtype)]
+    )
+    log_correction = columns.scale + next_scale
+    return posteriors, log_correction

@@ -52,7 +52,7 @@ def _to_device_columns(
     return ColumnArrays(
         lp=lp,
         pr=jnp.asarray(columns.probs, dtype),
-        kmer_allele=jnp.asarray(columns.kmer_alleles),
+        incidence=jnp.asarray(columns.incidence),
         kmer_mask=kmer_mask,
         alleles=jnp.asarray(columns.alleles),
         undefined=jnp.asarray(columns.undefined),
@@ -86,17 +86,15 @@ class PairHMM:
         ]
         columns = build_columns(records, probabilities, only_paths)
         self.columns = columns
-        # zero probabilities (possible via table overrides) need the
-        # -inf-safe emission path
-        safe = bool(np.any(~(columns.probs > 0) & columns.kmer_mask[:, :, None]))
-
         if columns.n_columns > 0:
             device_cols = _to_device_columns(
                 columns, recombrate, effective_N, uniform, dtype
             )
             if run_genotyping:
-                posteriors = np.asarray(forward_backward(device_cols, safe=safe))
-                self._scatter_genotypes(posteriors)
+                posteriors, log_corr = forward_backward(device_cols)
+                self._scatter_genotypes(
+                    np.asarray(posteriors), np.asarray(log_corr)
+                )
                 for i, record in enumerate(records):
                     self.genotyping_result[i].nr_unique_kmers = record.size()
                     self.genotyping_result[i].coverage = record.get_coverage()
@@ -105,7 +103,7 @@ class PairHMM:
                         g.normalize()
             if run_phasing:
                 states = np.asarray(
-                    viterbi(device_cols, safe=safe, uniform=uniform)
+                    viterbi(device_cols, uniform=uniform)
                 )
                 self._scatter_haplotypes(states)
         elif run_genotyping:
@@ -115,22 +113,28 @@ class PairHMM:
 
     # -- host scatter ------------------------------------------------------
 
-    def _scatter_genotypes(self, posteriors: np.ndarray) -> None:
+    def _scatter_genotypes(
+        self, posteriors: np.ndarray, log_corr: np.ndarray
+    ) -> None:
         columns = self.columns
+        # undo the device-side emission rescale in extended precision so
+        # stored raw likelihoods match the reference's long double scale
+        # (they can be far below f64 range, e.g. 1e-400)
+        corr = np.exp(log_corr.astype(np.longdouble))
         for n in range(columns.n_columns):
             result = self.genotyping_result[columns.variant_ids[n]]
             nr_local = int(columns.nr_local[n])
             locals_n = columns.local_alleles[n]
-            G = posteriors[n]
+            G = posteriors[n].astype(np.longdouble) * corr[n]
             # zero-valued entries still create map keys, as the
             # reference's operator[] does — the uniqueness check and
             # contains_no_likelihoods() observe them
             for i in range(nr_local):
                 a_i = int(locals_n[i])
-                result.add_to_likelihood(a_i, a_i, float(G[i, i]))
+                result.add_to_likelihood(a_i, a_i, G[i, i])
                 for j in range(i + 1, nr_local):
                     result.add_to_likelihood(
-                        a_i, int(locals_n[j]), float(G[i, j] + G[j, i])
+                        a_i, int(locals_n[j]), G[i, j] + G[j, i]
                     )
 
     def _scatter_haplotypes(self, states: np.ndarray) -> None:

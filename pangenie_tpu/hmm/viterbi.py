@@ -38,8 +38,8 @@ def _switch_counts(P: int) -> jnp.ndarray:
     return sw
 
 
-@partial(jax.jit, static_argnames=("safe", "uniform"))
-def viterbi(columns: ColumnArrays, safe: bool = False, uniform: bool = False):
+@partial(jax.jit, static_argnames=("uniform",))
+def viterbi(columns: ColumnArrays, uniform: bool = False):
     """Max-plus scan; returns (best path-pair state per column) [N].
 
     States are flattened row-major: state = p1 * P + p2.
@@ -53,7 +53,7 @@ def viterbi(columns: ColumnArrays, safe: bool = False, uniform: bool = False):
     def step(carry, inputs):
         lv_prev, is_first = carry
         col = inputs
-        logE = _emission(col, safe).reshape(S)
+        logE = _emission(col).reshape(S)
         if uniform:
             lt = jnp.zeros(3, dtype)
         else:

@@ -29,14 +29,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..hmm.forward_backward import ColumnArrays, forward_backward
 
 
-def _fb_batch(columns: ColumnArrays, safe: bool):
+def _fb_batch(columns: ColumnArrays):
     """vmap forward_backward over one leading batch dim."""
-    return jax.vmap(lambda c: forward_backward(c, safe=safe))(columns)
+    return jax.vmap(forward_backward)(columns)
 
 
-def sharded_forward_backward(
-    mesh: Mesh, columns: ColumnArrays, safe: bool = False
-):
+def sharded_forward_backward(mesh: Mesh, columns: ColumnArrays):
     """Run the [S, B] grid of forward-backward problems on the mesh.
 
     Args:
@@ -46,9 +44,9 @@ def sharded_forward_backward(
 
     Returns:
       posteriors [B, N, A, A]: per-work-item allele-pair likelihood
-      grids, already summed over path subsets (raw, unnormalized —
-      normalization happens host-side per variant, as in the
-      reference).
+        grids (emission-rescaled), summed over path subsets,
+      log_correction [B, N]: per-column log factors restoring the
+        reference's raw likelihood scale (see forward_backward).
     """
     in_spec = jax.tree.map(lambda _: P("subset", "batch"), columns)
 
@@ -56,7 +54,7 @@ def sharded_forward_backward(
         shard_map,
         mesh=mesh,
         in_specs=(in_spec,),
-        out_specs=P("batch"),
+        out_specs=(P("batch"), P("batch")),
         check_rep=False,
     )
     def step(cols: ColumnArrays):
@@ -65,10 +63,15 @@ def sharded_forward_backward(
         flat = jax.tree.map(
             lambda x: x.reshape((s_loc * b_loc,) + x.shape[2:]), cols
         )
-        posts = _fb_batch(flat, safe)  # [S*B, N, A, A]
+        posts, corr = _fb_batch(flat)  # [S*B, N, A, A], [S*B, N]
         posts = posts.reshape((s_loc, b_loc) + posts.shape[1:])
+        corr = corr.reshape((s_loc, b_loc) + corr.shape[1:])
+        # the log-correction is subset-independent (scale depends only
+        # on the column's kmer probabilities), so summing SCALED raw
+        # posteriors across subsets is exact; host code applies
+        # exp(corr) once after gathering
         local = jnp.sum(posts, axis=0)  # combine local subsets
-        return jax.lax.psum(local, "subset")  # [B_loc, N, A, A]
+        return jax.lax.psum(local, "subset"), corr[0]
 
     return step(columns)
 

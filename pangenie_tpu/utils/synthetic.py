@@ -42,10 +42,10 @@ def synthetic_columns(
     # ensure allele 0 and 1 both appear (non-degenerate columns)
     alleles[..., 0] = 0
     alleles[..., 1] = 1
-    undefined = np.zeros(shape + (N, P), dtype=bool)
-    kmer_alleles = (
-        np.arange(K, dtype=np.int32) % A
-    ) * np.ones(shape + (N, 1), dtype=np.int32)
+    undefined = np.zeros(shape + (N, A), dtype=bool)
+    kmer_alleles = np.arange(K, dtype=np.int32) % A  # [K]
+    incidence = np.zeros(shape + (N, K, A), dtype=bool)
+    incidence[..., np.arange(K), kmer_alleles] = True
     kmer_mask = np.ones(shape + (N, K), dtype=bool)
     counts = rng.poisson(coverage / 2.0, size=shape + (N, K)).astype(np.int64)
     counts = np.minimum(counts, 2 * coverage - 1)
@@ -71,7 +71,7 @@ def synthetic_columns(
     return ColumnArrays(
         lp=lp,
         pr=pr.astype(dtype),
-        kmer_allele=kmer_alleles,
+        incidence=incidence,
         kmer_mask=kmer_mask,
         alleles=alleles,
         undefined=undefined,

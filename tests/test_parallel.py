@@ -26,17 +26,23 @@ def test_sharded_equals_sequential():
     )
     mesh = make_mesh(8, shape=(2, 4))
     device_cols = shard_columns(mesh, _to_device(columns))
-    sharded = np.asarray(sharded_forward_backward(mesh, device_cols))
+    sharded, corr = sharded_forward_backward(mesh, device_cols)
+    sharded = np.asarray(sharded)
 
     # sequential reference: per (s, b) forward_backward, summed over s
     expected = np.zeros_like(sharded)
+    expected_corr = None
     for s in range(S):
         for b in range(B):
             cols_sb = type(columns)(
                 *[jnp.asarray(x[s, b]) for x in columns]
             )
-            expected[b] += np.asarray(forward_backward(cols_sb))
+            posts_sb, corr_sb = forward_backward(cols_sb)
+            expected[b] += np.asarray(posts_sb)
+            if s == 0 and b == 0:
+                expected_corr = np.asarray(corr_sb)
     np.testing.assert_allclose(sharded, expected, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(corr)[0], expected_corr)
 
 
 def test_single_device_mesh():
@@ -45,7 +51,8 @@ def test_single_device_mesh():
     )
     mesh = make_mesh(1)
     device_cols = shard_columns(mesh, _to_device(columns))
-    out = np.asarray(sharded_forward_backward(mesh, device_cols))
+    out, _ = sharded_forward_backward(mesh, device_cols)
+    out = np.asarray(out)
     assert out.shape[0] == 1
     assert np.all(np.isfinite(out))
 
