@@ -26,6 +26,12 @@ _ALT_PATTERN = re.compile(rb"^[CAGTcagt,]+$")
 _VCF_FIELDS = ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO", "FORMAT"]
 
 
+def _atoi(s: str) -> int:
+    """C atoi: leading integer prefix, 0 if none."""
+    m = re.match(r"\s*[+-]?\d+", s)
+    return int(m.group()) if m else 0
+
+
 def _parse_info_ids(info: str) -> List[str]:
     """Extract the comma-separated INFO ID= values.
 
@@ -178,7 +184,11 @@ class PanelBuilder:
                     )
 
                 # construct per-path alleles; each missing '.' haplotype
-                # becomes its own new "N" allele
+                # becomes its own new "N" allele. Faithful to the
+                # reference (src/graphbuilder.cpp:216-242): genotype
+                # fields are parsed with atoi semantics, so "0:150"
+                # (GT:PS format) reads as allele 0 and ".:100" is NOT
+                # treated as missing (atoi('.') == 0)
                 paths: List[int] = []
                 if add_reference:
                     paths.append(0)
@@ -198,7 +208,7 @@ class PanelBuilder:
                             assert undefined_index < 65535
                             undefined_index += 1
                         else:
-                            p_index = int(s)
+                            p_index = _atoi(s)
                             if p_index >= len(alleles):
                                 raise RuntimeError(
                                     "PanelBuilder: invalid genotype in VCF."

@@ -82,6 +82,11 @@ class GenotypeLikelihoods:
                 else:
                     self.likelihoods[k] = v / total
 
+    def divide_likelihoods_by(self, value: float) -> None:
+        """(reference src/genotypingresult.cpp:99-103)"""
+        for k in self.likelihoods:
+            self.likelihoods[k] = self.likelihoods[k] / value
+
     def combine(self, other: "GenotypeLikelihoods") -> None:
         for k, v in other.likelihoods.items():
             self.likelihoods[k] = self.likelihoods.get(k, 0.0) + v
@@ -170,6 +175,15 @@ class GenotypeLikelihoods:
         if prob_wrong > 0.0:
             return int(-10 * np.log10(prob_wrong))
         return 10000
+
+
+@dataclass
+class VariantStats:
+    """Per-variant allele statistics (reference src/variant.hpp:20-27)."""
+
+    nr_unique_kmers: int = 0
+    coverage: int = 0
+    kmer_counts: Dict[int, int] = field(default_factory=dict)
 
 
 @dataclass
@@ -551,6 +565,33 @@ class VariantBubble:
             if i < nr_variants - 1:
                 current_start += len(self.inner_flanks[i])
         return resulting_variants, resulting_sampling
+
+    def variant_statistics(self, unique_kmers) -> List["VariantStats"]:
+        """Per-sub-variant allele kmer counts; -1 for uncovered alleles.
+
+        (reference src/variant.cpp:474-507)
+        """
+        nr_variants = len(self.allele_sequences)
+        assert len(self.uncovered_alleles) == nr_variants
+        kmers_per_allele = unique_kmers.kmers_on_alleles()
+        result = []
+        for i in range(nr_variants):
+            new_kmer_counts: Dict[int, int] = {}
+            for a0 in range(self.nr_of_alleles()):
+                single = self.allele_combinations[a0][i]
+                new_kmer_counts[single] = new_kmer_counts.get(
+                    single, 0
+                ) + kmers_per_allele.get(a0, 0)
+            for u in self.uncovered_alleles[i]:
+                new_kmer_counts[u] = -1
+            result.append(
+                VariantStats(
+                    nr_unique_kmers=unique_kmers.size(),
+                    coverage=unique_kmers.get_coverage(),
+                    kmer_counts=new_kmer_counts,
+                )
+            )
+        return result
 
     def __eq__(self, other: object) -> bool:
         if not isinstance(other, VariantBubble):
