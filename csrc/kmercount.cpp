@@ -1,0 +1,153 @@
+// Native k-mer engine: canonical 2-bit k-mer extraction + counting.
+//
+// Host-side replacement for the Jellyfish boundary of the reference
+// (src/jellyfishcounter.cpp): the TPU framework keeps count tables as
+// sorted (key, count) arrays (device-friendly layout); this module
+// provides the CPU hot loops around that layout:
+//
+//   - extract_canonical: rolling 2-bit encode + canonical min(kmer, rc)
+//     over every valid window of a sequence batch (the inner loop of
+//     read streaming),
+//   - count_sorted: sort + run-length-encode a kmer block,
+//   - lookup_sorted: batched binary-search abundance queries,
+//   - update_counts_sorted: PRIME+UPDATE accumulation into an existing
+//     key set (graph-only counting mode).
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 dependency).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// base codes: A=0 C=1 G=2 T=3, everything else invalid (4)
+inline void init_code_table(uint8_t* table) {
+    memset(table, 4, 256);
+    table['A'] = 0; table['a'] = 0;
+    table['C'] = 1; table['c'] = 1;
+    table['G'] = 2; table['g'] = 2;
+    table['T'] = 3; table['t'] = 3;
+}
+
+inline uint64_t revcomp(uint64_t v, int k) {
+    v = ~v;
+    v = ((v >> 2) & 0x3333333333333333ULL) | ((v & 0x3333333333333333ULL) << 2);
+    v = ((v >> 4) & 0x0F0F0F0F0F0F0F0FULL) | ((v & 0x0F0F0F0F0F0F0F0FULL) << 4);
+    v = ((v >> 8) & 0x00FF00FF00FF00FFULL) | ((v & 0x00FF00FF00FF00FFULL) << 8);
+    v = ((v >> 16) & 0x0000FFFF0000FFFFULL) | ((v & 0x0000FFFF0000FFFFULL) << 16);
+    v = (v >> 32) | (v << 32);
+    return v >> (64 - 2 * k);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Extract canonical k-mers from a batch of sequences packed into one
+// byte buffer. offsets has n_seqs+1 entries delimiting each sequence.
+// Windows containing a non-ACGT base are skipped. Returns the number
+// of kmers written to `out` (caller allocates total_len capacity).
+int64_t pg_extract_canonical(
+    const uint8_t* data, const int64_t* offsets, int64_t n_seqs, int k,
+    uint64_t* out) {
+    uint8_t code[256];
+    init_code_table(code);
+    const uint64_t mask =
+        (k < 32) ? ((1ULL << (2 * k)) - 1ULL) : ~0ULL;
+    int64_t n_out = 0;
+    for (int64_t s = 0; s < n_seqs; ++s) {
+        const uint8_t* seq = data + offsets[s];
+        const int64_t len = offsets[s + 1] - offsets[s];
+        if (len < k) continue;
+        uint64_t fwd = 0;
+        int valid = 0;  // number of consecutive valid bases in window
+        for (int64_t i = 0; i < len; ++i) {
+            const uint8_t c = code[seq[i]];
+            if (c > 3) {
+                valid = 0;
+                fwd = 0;
+                continue;
+            }
+            fwd = ((fwd << 2) | c) & mask;
+            if (++valid >= k) {
+                const uint64_t rc = revcomp(fwd, k);
+                out[n_out++] = fwd < rc ? fwd : rc;
+            }
+        }
+    }
+    return n_out;
+}
+
+// Non-canonical variant (used for allele kmer enumeration parity).
+int64_t pg_extract_forward(
+    const uint8_t* data, const int64_t* offsets, int64_t n_seqs, int k,
+    uint64_t* out) {
+    uint8_t code[256];
+    init_code_table(code);
+    const uint64_t mask =
+        (k < 32) ? ((1ULL << (2 * k)) - 1ULL) : ~0ULL;
+    int64_t n_out = 0;
+    for (int64_t s = 0; s < n_seqs; ++s) {
+        const uint8_t* seq = data + offsets[s];
+        const int64_t len = offsets[s + 1] - offsets[s];
+        if (len < k) continue;
+        uint64_t fwd = 0;
+        int valid = 0;
+        for (int64_t i = 0; i < len; ++i) {
+            const uint8_t c = code[seq[i]];
+            if (c > 3) {
+                valid = 0;
+                fwd = 0;
+                continue;
+            }
+            fwd = ((fwd << 2) | c) & mask;
+            if (++valid >= k) out[n_out++] = fwd;
+        }
+    }
+    return n_out;
+}
+
+// In-place sort + run-length-encode. keys/counts are caller-allocated
+// with capacity n. Returns the number of unique keys.
+int64_t pg_count_sorted(uint64_t* kmers, int64_t n, uint64_t* keys,
+                        int64_t* counts) {
+    std::sort(kmers, kmers + n);
+    int64_t m = 0;
+    int64_t i = 0;
+    while (i < n) {
+        int64_t j = i + 1;
+        while (j < n && kmers[j] == kmers[i]) ++j;
+        keys[m] = kmers[i];
+        counts[m] = j - i;
+        ++m;
+        i = j;
+    }
+    return m;
+}
+
+// Batched abundance lookup: binary search each canonical query in the
+// sorted key array; missing keys get 0.
+void pg_lookup_sorted(const uint64_t* keys, const int64_t* counts,
+                      int64_t n_keys, const uint64_t* queries,
+                      int64_t n_queries, int64_t* out) {
+    for (int64_t i = 0; i < n_queries; ++i) {
+        const uint64_t q = queries[i];
+        const uint64_t* it = std::lower_bound(keys, keys + n_keys, q);
+        out[i] = (it != keys + n_keys && *it == q) ? counts[it - keys] : 0;
+    }
+}
+
+// PRIME+UPDATE: add 1 to counts[] for every query found in keys[]
+// (queries not in the key set are dropped — graph-only counting).
+void pg_update_counts_sorted(const uint64_t* keys, int64_t* counts,
+                             int64_t n_keys, const uint64_t* queries,
+                             int64_t n_queries) {
+    for (int64_t i = 0; i < n_queries; ++i) {
+        const uint64_t q = queries[i];
+        const uint64_t* it = std::lower_bound(keys, keys + n_keys, q);
+        if (it != keys + n_keys && *it == q) ++counts[it - keys];
+    }
+}
+
+}  // extern "C"

@@ -29,6 +29,7 @@ from typing import Iterable, Iterator, List, Sequence
 
 import numpy as np
 
+from . import native
 from .histogram import Histogram, compute_kmer_coverage_from_peaks
 from .mer import canonicalize, encode_kmer, enumerate_valid_kmers
 from ..io.sequence import normalize_sequence
@@ -103,8 +104,12 @@ class ExactKmerCounter(KmerCounter):
 
     @staticmethod
     def _extract_canonical(seqs: Iterable[bytes], k: int) -> np.ndarray:
+        seq_list = seqs if isinstance(seqs, list) else list(seqs)
+        result = native.extract_canonical_batch(seq_list, k)
+        if result is not None:
+            return result
         parts = []
-        for seq in seqs:
+        for seq in seq_list:
             kmers = enumerate_valid_kmers(seq, k)
             if len(kmers):
                 parts.append(canonicalize(kmers, k))
@@ -116,6 +121,9 @@ class ExactKmerCounter(KmerCounter):
     def count_sequences(cls, seqs: Iterable[bytes], k: int) -> "ExactKmerCounter":
         """COUNT mode over an in-memory sequence iterable."""
         kmers = cls._extract_canonical(seqs, k)
+        counted = native.count_sorted(kmers)
+        if counted is not None:
+            return cls(k, counted[0], counted[1])
         keys, counts = np.unique(kmers, return_counts=True)
         return cls(k, keys, counts.astype(np.int64))
 
@@ -141,34 +149,42 @@ class ExactKmerCounter(KmerCounter):
             else np.empty(0, dtype=np.uint64)
         )
         counts = np.zeros(len(keys), dtype=np.int64)
-        for seq in iter_sequences(read_file):
-            kmers = enumerate_valid_kmers(seq, k)
-            if not len(kmers):
-                continue
-            kmers = canonicalize(kmers, k)
-            idx = np.searchsorted(keys, kmers)
-            idx_clip = np.minimum(idx, len(keys) - 1) if len(keys) else idx
-            hit = len(keys) > 0
-            if hit:
-                mask = keys[idx_clip] == kmers
-                np.add.at(counts, idx_clip[mask], 1)
+        if len(keys):
+            # stream reads in blocks; native extraction + accumulation
+            block: List[bytes] = []
+            block_bases = 0
+            for seq in iter_sequences(read_file):
+                block.append(seq)
+                block_bases += len(seq)
+                if block_bases >= 32 * 1024 * 1024:
+                    cls._accumulate_block(keys, counts, block, k)
+                    block, block_bases = [], 0
+            if block:
+                cls._accumulate_block(keys, counts, block, k)
         return cls(k, keys, counts)
+
+    @classmethod
+    def _accumulate_block(
+        cls, keys: np.ndarray, counts: np.ndarray, block: List[bytes], k: int
+    ) -> None:
+        kmers = cls._extract_canonical(block, k)
+        if not len(kmers):
+            return
+        if native.update_counts_sorted(keys, counts, kmers):
+            return
+        idx = np.searchsorted(keys, kmers)
+        idx_clip = np.minimum(idx, len(keys) - 1)
+        mask = keys[idx_clip] == kmers
+        np.add.at(counts, idx_clip[mask], 1)
 
     @classmethod
     def count_sequences_primed(
         cls, read_seqs: Iterable[bytes], corpus_seqs: Iterable[bytes], k: int
     ) -> "ExactKmerCounter":
-        keys = np.unique(cls._extract_canonical(corpus_seqs, k))
+        keys = np.unique(cls._extract_canonical(list(corpus_seqs), k))
         counts = np.zeros(len(keys), dtype=np.int64)
-        for seq in read_seqs:
-            kmers = enumerate_valid_kmers(seq, k)
-            if not len(kmers) or not len(keys):
-                continue
-            kmers = canonicalize(kmers, k)
-            idx = np.searchsorted(keys, kmers)
-            idx_clip = np.minimum(idx, len(keys) - 1)
-            mask = keys[idx_clip] == kmers
-            np.add.at(counts, idx_clip[mask], 1)
+        if len(keys):
+            cls._accumulate_block(keys, counts, list(read_seqs), k)
         return cls(k, keys, counts)
 
     # -- queries ---------------------------------------------------------
@@ -189,6 +205,9 @@ class ExactKmerCounter(KmerCounter):
         if len(self.keys) == 0:
             return np.zeros(len(values), dtype=np.int64)
         canon = canonicalize(np.asarray(values, dtype=np.uint64), self.k)
+        result = native.lookup_sorted(self.keys, self.counts, canon)
+        if result is not None:
+            return result
         idx = np.searchsorted(self.keys, canon)
         idx_clip = np.minimum(idx, len(self.keys) - 1)
         found = self.keys[idx_clip] == canon

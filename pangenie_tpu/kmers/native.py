@@ -1,0 +1,153 @@
+"""ctypes bindings for the native k-mer engine (csrc/kmercount.cpp).
+
+The shared library is compiled on first use with g++ -O3 and cached
+next to the source; all entry points fall back to the numpy
+implementations in mer.py when no compiler is available, so the
+package works (slower) without a native toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Iterable, List, Optional, Tuple
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_FAILED = False
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_FAILED
+    with _LOCK:
+        if _LIB is not None or _LIB_FAILED:
+            return _LIB
+        src = os.path.abspath(os.path.join(_CSRC, "kmercount.cpp"))
+        if not os.path.exists(src):
+            _LIB_FAILED = True
+            return None
+        so = os.path.join(os.path.dirname(src), "libkmercount.so")
+        try:
+            if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     "-std=c++17", src, "-o", so],
+                    check=True, capture_output=True,
+                )
+            lib = ctypes.CDLL(so)
+        except (OSError, subprocess.CalledProcessError):
+            _LIB_FAILED = True
+            return None
+
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.pg_extract_canonical.restype = ctypes.c_int64
+        lib.pg_extract_canonical.argtypes = [
+            u8p, i64p, ctypes.c_int64, ctypes.c_int, u64p
+        ]
+        lib.pg_extract_forward.restype = ctypes.c_int64
+        lib.pg_extract_forward.argtypes = [
+            u8p, i64p, ctypes.c_int64, ctypes.c_int, u64p
+        ]
+        lib.pg_count_sorted.restype = ctypes.c_int64
+        lib.pg_count_sorted.argtypes = [u64p, ctypes.c_int64, u64p, i64p]
+        lib.pg_lookup_sorted.restype = None
+        lib.pg_lookup_sorted.argtypes = [
+            u64p, i64p, ctypes.c_int64, u64p, ctypes.c_int64, i64p
+        ]
+        lib.pg_update_counts_sorted.restype = None
+        lib.pg_update_counts_sorted.argtypes = [
+            u64p, i64p, ctypes.c_int64, u64p, ctypes.c_int64
+        ]
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    return _build_and_load() is not None
+
+
+def _pack(seqs: List[bytes]) -> Tuple[np.ndarray, np.ndarray]:
+    data = np.frombuffer(b"".join(seqs), dtype=np.uint8)
+    offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in seqs], out=offsets[1:])
+    return data, offsets
+
+
+def extract_canonical_batch(seqs: List[bytes], k: int) -> Optional[np.ndarray]:
+    """Canonical k-mers of every valid window across a sequence batch;
+    None when the native library is unavailable."""
+    lib = _build_and_load()
+    if lib is None or not seqs:
+        return None if lib is None else np.empty(0, dtype=np.uint64)
+    data, offsets = _pack(seqs)
+    out = np.empty(max(1, len(data)), dtype=np.uint64)
+    n = lib.pg_extract_canonical(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(seqs), k,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    return out[:n].copy()
+
+
+def count_sorted(kmers: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    kmers = np.ascontiguousarray(kmers, dtype=np.uint64)
+    n = len(kmers)
+    keys = np.empty(max(1, n), dtype=np.uint64)
+    counts = np.empty(max(1, n), dtype=np.int64)
+    m = lib.pg_count_sorted(
+        kmers.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), n,
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return keys[:m].copy(), counts[:m].copy()
+
+
+def lookup_sorted(
+    keys: np.ndarray, counts: np.ndarray, queries: np.ndarray
+) -> Optional[np.ndarray]:
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    queries = np.ascontiguousarray(queries, dtype=np.uint64)
+    out = np.empty(max(1, len(queries)), dtype=np.int64)
+    lib.pg_lookup_sorted(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(keys),
+        queries.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(queries),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out[: len(queries)]
+
+
+def update_counts_sorted(
+    keys: np.ndarray, counts: np.ndarray, queries: np.ndarray
+) -> bool:
+    """Accumulate query hits into counts in place; False if no lib."""
+    lib = _build_and_load()
+    if lib is None:
+        return False
+    assert keys.dtype == np.uint64 and counts.dtype == np.int64
+    queries = np.ascontiguousarray(queries, dtype=np.uint64)
+    lib.pg_update_counts_sorted(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(keys),
+        queries.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(queries),
+    )
+    return True
