@@ -1,0 +1,218 @@
+"""Device-side (TPU/XLA) canonical k-mer counting.
+
+The count table keeps the host engine's sorted-array layout (see
+counter.py), built with device primitives only:
+
+- reads are streamed as padded [B, L] uint8 code batches (host packs),
+- every length-k window is packed into a (hi, lo) PAIR of uint32 words
+  holding the host's 2-bit uint64 encoding split at bit 32 — TPUs have
+  no native 64-bit integers, and all comparisons are lexicographic on
+  (hi, lo), which equals uint64 order,
+- reverse complement is 64-bit bit-twiddling carried across the word
+  pair; canonical = elementwise min,
+- counting = `lax.sort` with num_keys=2 (lexicographic) + run-length
+  encode via segment boundaries,
+- the abundance histogram is a bincount of the counts.
+
+Partial tables from read batches (or from different devices) merge by
+concatenation + re-sort + segment-sum — across a mesh this is an
+all-gather followed by the same local merge.
+
+Random-access abundance lookups stay host-side (they touch only the
+~1e7 selected kmers once); the streaming-bandwidth-heavy counting is
+what the device accelerates. A hand-tiled Pallas hash-table kernel is
+the planned upgrade path; the XLA sort formulation is the correct,
+portable baseline.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MASK32 = np.uint32(0xFFFFFFFF)
+
+
+def pack_read_batch(
+    seqs: List[bytes], length: Optional[int] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side: encode sequences to a padded [B, L] uint8 code array.
+
+    Codes: A=0 C=1 G=2 T=3, invalid/padding=4.
+    """
+    from ..io.sequence import encode_bases
+
+    if length is None:
+        length = max((len(s) for s in seqs), default=0)
+    batch = np.full((len(seqs), length), 4, dtype=np.uint8)
+    for i, s in enumerate(seqs):
+        codes = encode_bases(s[:length])
+        batch[i, : len(codes)] = codes
+    return batch, np.array([min(len(s), length) for s in seqs])
+
+
+def _rc_pair(hi, lo, k: int):
+    """Reverse complement of the (hi, lo) 64-bit pair encoding."""
+    u = jnp.uint32
+    hi = ~hi
+    lo = ~lo
+    for s, m in ((1, u(0x33333333)), (2, u(0x0F0F0F0F)),
+                 (3, u(0x00FF00FF)), (4, u(0x0000FFFF))):
+        shift = u(1 << s)
+        hi = ((hi >> shift) & m) | ((hi & m) << shift)
+        lo = ((lo >> shift) & m) | ((lo & m) << shift)
+    hi, lo = lo, hi  # the 32-bit swap
+    # 64-bit right shift by (64 - 2k)
+    sh = 64 - 2 * k
+    if sh == 0:
+        return hi, lo
+    if sh >= 32:
+        return jnp.zeros_like(hi), hi >> u(sh - 32) if sh > 32 else hi
+    return hi >> u(sh), (lo >> u(sh)) | (hi << u(32 - sh))
+
+
+def _min_pair(ahi, alo, bhi, blo):
+    """Lexicographic min over (hi, lo) pairs == uint64 min."""
+    a_smaller = (ahi < bhi) | ((ahi == bhi) & (alo < blo))
+    return (
+        jnp.where(a_smaller, ahi, bhi),
+        jnp.where(a_smaller, alo, blo),
+    )
+
+
+@partial(jax.jit, static_argnames=("k",))
+def extract_canonical(codes: jax.Array, k: int):
+    """All valid canonical k-mer windows of a [B, L] code batch.
+
+    Returns (hi, lo, valid): [B, W] uint32/uint32/bool with
+    W = L - k + 1. Windows containing an invalid code are masked.
+    """
+    B, L = codes.shape
+    W = L - k + 1
+    assert W >= 1
+    c = codes.astype(jnp.uint32)
+    u = jnp.uint32
+
+    hi = jnp.zeros((B, W), jnp.uint32)
+    lo = jnp.zeros((B, W), jnp.uint32)
+    invalid = jnp.zeros((B, W), bool)
+    for i in range(k):
+        ci = jax.lax.dynamic_slice_in_dim(c, i, W, axis=1)
+        bitpos = 2 * (k - 1 - i)
+        if bitpos >= 32:
+            hi = hi | ((ci & u(3)) << u(bitpos - 32))
+        else:
+            lo = lo | ((ci & u(3)) << u(bitpos))
+        invalid = invalid | (ci > 3)
+
+    rhi, rlo = _rc_pair(hi, lo, k)
+    chi, clo = _min_pair(hi, lo, rhi, rlo)
+    return chi, clo, ~invalid
+
+
+@jax.jit
+def count_kmers(hi: jax.Array, lo: jax.Array, valid: jax.Array):
+    """Sorted count table from flattened kmer arrays.
+
+    Invalid entries sort to the top (key 0xFFFFFFFF) and are excluded
+    via the returned table mask.
+
+    Returns (keys_hi, keys_lo, counts, table_mask): [N] arrays where
+    table_mask marks real unique-key slots (dense prefix).
+    """
+    hi = jnp.where(valid, hi, jnp.uint32(0xFFFFFFFF))
+    lo = jnp.where(valid, lo, jnp.uint32(0xFFFFFFFF))
+    shi, slo, svalid = jax.lax.sort(
+        (hi.ravel(), lo.ravel(), valid.ravel()), num_keys=2
+    )
+    n = shi.shape[0]
+    # segment starts: first element or different from predecessor
+    prev_hi = jnp.concatenate([shi[:1] ^ jnp.uint32(1), shi[:-1]])
+    prev_lo = jnp.concatenate([slo[:1], slo[:-1]])
+    is_start = (shi != prev_hi) | (slo != prev_lo)
+    seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    counts = jnp.zeros(n, jnp.int32).at[seg_id].add(svalid.astype(jnp.int32))
+    start_idx = jnp.nonzero(is_start, size=n, fill_value=n - 1)[0]
+    keys_hi = shi[start_idx]
+    keys_lo = slo[start_idx]
+    seg_counts = counts[: n]
+    nsegs = jnp.sum(is_start.astype(jnp.int32))
+    slot = jnp.arange(n)
+    table_mask = (slot < nsegs) & (seg_counts > 0)
+    return keys_hi, keys_lo, seg_counts, table_mask
+
+
+@jax.jit
+def merge_tables(
+    ahi, alo, acnt, amask, bhi, blo, bcnt, bmask
+):
+    """Merge two sorted count tables (concat + re-sort + segment-sum)."""
+    hi = jnp.concatenate([jnp.where(amask, ahi, jnp.uint32(0xFFFFFFFF)),
+                          jnp.where(bmask, bhi, jnp.uint32(0xFFFFFFFF))])
+    lo = jnp.concatenate([jnp.where(amask, alo, jnp.uint32(0xFFFFFFFF)),
+                          jnp.where(bmask, blo, jnp.uint32(0xFFFFFFFF))])
+    cnt = jnp.concatenate([jnp.where(amask, acnt, 0),
+                           jnp.where(bmask, bcnt, 0)])
+    shi, slo, scnt = jax.lax.sort((hi, lo, cnt), num_keys=2)
+    n = shi.shape[0]
+    prev_hi = jnp.concatenate([shi[:1] ^ jnp.uint32(1), shi[:-1]])
+    prev_lo = jnp.concatenate([slo[:1], slo[:-1]])
+    is_start = (shi != prev_hi) | (slo != prev_lo)
+    seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    counts = jnp.zeros(n, jnp.int32).at[seg_id].add(scnt)
+    start_idx = jnp.nonzero(is_start, size=n, fill_value=n - 1)[0]
+    keys_hi = shi[start_idx]
+    keys_lo = slo[start_idx]
+    nsegs = jnp.sum(is_start.astype(jnp.int32))
+    slot = jnp.arange(n)
+    mask = (slot < nsegs) & (counts > 0)
+    return keys_hi, keys_lo, counts, mask
+
+
+@partial(jax.jit, static_argnames=("max_count",))
+def histogram(counts: jax.Array, mask: jax.Array, max_count: int):
+    """count -> frequency histogram (clamped at max_count)."""
+    c = jnp.where(mask, jnp.minimum(counts, max_count), 0)
+    return jnp.zeros(max_count + 1, jnp.int32).at[c].add(
+        mask.astype(jnp.int32)
+    )[1:]
+
+
+class DeviceKmerCounter:
+    """Batch-streaming device counter with host-compatible output."""
+
+    def __init__(self, k: int):
+        if not (1 <= k <= 31):
+            raise ValueError("DeviceKmerCounter supports k in [1, 31].")
+        self.k = k
+        self._table = None  # (hi, lo, counts, mask) device arrays
+
+    def add_batch(self, codes: np.ndarray) -> None:
+        """Count one [B, L] code batch and merge into the table."""
+        hi, lo, valid = extract_canonical(jnp.asarray(codes), self.k)
+        table = count_kmers(hi, lo, valid)
+        if self._table is None:
+            self._table = table
+        else:
+            self._table = merge_tables(*self._table, *table)
+
+    def to_host_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(keys uint64, counts int64) — the host counter's layout."""
+        if self._table is None:
+            return np.empty(0, np.uint64), np.empty(0, np.int64)
+        hi, lo, cnt, mask = (np.asarray(x) for x in self._table)
+        keep = mask.astype(bool)
+        keys = (hi[keep].astype(np.uint64) << np.uint64(32)) | lo[
+            keep
+        ].astype(np.uint64)
+        return keys, cnt[keep].astype(np.int64)
+
+    def to_exact_counter(self):
+        from .counter import ExactKmerCounter
+
+        keys, counts = self.to_host_arrays()
+        return ExactKmerCounter(self.k, keys, counts)
