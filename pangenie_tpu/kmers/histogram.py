@@ -15,6 +15,24 @@ class Histogram:
     def __init__(self, max_value: int):
         self.histogram = np.zeros(max_value + 1, dtype=np.int64)
 
+    @classmethod
+    def from_file(cls, filename: str, max_value: int) -> "Histogram":
+        """Load a ``count\\tvalue`` .histo file
+        (reference src/histogram.cpp:12-24)."""
+        h = cls(max_value)
+        with open(filename) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 2:
+                    continue
+                try:
+                    count, value = int(parts[0]), int(parts[1])
+                except ValueError:
+                    continue
+                if count <= max_value:
+                    h.histogram[count] = value
+        return h
+
     def add_value(self, value: int) -> None:
         if value < len(self.histogram):
             self.histogram[value] += 1
