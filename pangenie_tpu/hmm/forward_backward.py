@@ -45,6 +45,8 @@ class ColumnArrays(NamedTuple):
     trans: jax.Array       # [N, 3]; trans[n] = t(n-1 -> n), trans[0] unused
     allele_local: jax.Array  # [N, P] local allele index per path
     nr_local: jax.Array    # [N]
+    is_last: jax.Array     # [N] True at the LAST REAL column (padding
+                           # columns after it are pass-through)
 
 
 def _emission(col: ColumnArrays):
@@ -136,11 +138,10 @@ def forward_backward(columns: ColumnArrays):
         posterior = alpha_n * cur * c_n  # [P, P] raw
         return beta, posterior
 
-    is_last = jnp.zeros(N, bool).at[N - 1].set(True)
     _, posts = jax.lax.scan(
         bwd_step,
         jnp.zeros((P, P), dtype),
-        (alphas, c_fwd, next_cols, is_last),
+        (alphas, c_fwd, next_cols, columns.is_last),
         reverse=True,
     )
 

@@ -31,12 +31,22 @@ from .forward_backward import ColumnArrays, forward_backward
 from .viterbi import viterbi
 
 
+def _bucket(n: int, minimum: int = 16) -> int:
+    """Round up to the next power of two (shape-bucketing so XLA
+    compiles once per bucket, not once per chromosome)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
 def _to_device_columns(
     columns: HMMColumns,
     recombrate: float,
     effective_N: float,
     uniform: bool,
     dtype,
+    bucketed: bool = True,
 ) -> ColumnArrays:
     from .emissions import emission_scale
 
@@ -46,21 +56,75 @@ def _to_device_columns(
         trans[1:] = transition_probs(
             columns.positions, columns.n_paths, recombrate, effective_N, uniform
         )
-    lp = jnp.asarray(columns.log_probs, dtype)
-    kmer_mask = jnp.asarray(columns.kmer_mask)
-    scale = emission_scale(lp, kmer_mask)
+
+    lp = columns.log_probs
+    pr = columns.probs
+    incidence = columns.incidence
+    kmer_mask = columns.kmer_mask
+    alleles = columns.alleles
+    undefined = columns.undefined
+    all_zeros = columns.all_zeros
+    allele_local = columns.allele_local
+    nr_local = columns.nr_local
+
+    if bucketed:
+        # pad columns (N), kmers (K) and alleles (A) up to power-of-two
+        # buckets. Padding is EXACT, not approximate:
+        # - extra kmer slots are masked out (contribute nothing),
+        # - extra allele slots have empty incidence and are never
+        #   referenced by allele_local,
+        # - extra COLUMNS get all_zeros=True (emission == 1 uniformly)
+        #   and stay-only transitions t=(1,0,0): the forward alpha and
+        #   backward beta pass through them unchanged, the per-column
+        #   normalization constants are 1, and their posteriors are
+        #   simply ignored by the scatter. This reproduces the exact
+        #   unpadded recurrence values at every real column.
+        K = lp.shape[1]
+        A = incidence.shape[2]
+        P = alleles.shape[1]
+        Np, Kp, Ap = _bucket(N, 16), _bucket(K, 8), _bucket(A, 2)
+
+        def pad(arr, shape, fill=0):
+            out = np.full(shape, fill, dtype=arr.dtype)
+            out[tuple(slice(0, s) for s in arr.shape)] = arr
+            return out
+
+        if Kp != K or Ap != A or Np != N:
+            lp = pad(lp, (Np, Kp, 3))
+            pr = pad(pr, (Np, Kp, 3))
+            incidence = pad(incidence, (Np, Kp, Ap))
+            kmer_mask = pad(kmer_mask, (Np, Kp))
+            alleles = pad(alleles, (Np, P))
+            undefined = pad(undefined, (Np, Ap))
+            all_zeros = pad(all_zeros, (Np,), fill=False)
+            all_zeros[N:] = True
+            allele_local = pad(allele_local, (Np, P))
+            nr_local = pad(nr_local, (Np,))
+            trans_p = np.zeros((Np, 3), dtype=np.float64)
+            trans_p[:N] = trans
+            trans_p[N:, 0] = 1.0  # stay-only through padding columns
+            trans = trans_p
+
+    is_last = np.zeros(len(all_zeros), dtype=bool)
+    if N > 0:
+        is_last[N - 1] = True
+
+    lp_j = jnp.asarray(lp, dtype)
+    kmer_mask_j = jnp.asarray(kmer_mask)
+    scale = emission_scale(lp_j, kmer_mask_j)
     return ColumnArrays(
-        lp=lp,
-        pr=jnp.asarray(columns.probs, dtype),
-        incidence=jnp.asarray(columns.incidence),
-        kmer_mask=kmer_mask,
-        alleles=jnp.asarray(columns.alleles),
-        undefined=jnp.asarray(columns.undefined),
-        all_zeros=jnp.asarray(columns.all_zeros),
+        lp=lp_j,
+        pr=jnp.asarray(pr, dtype),
+        incidence=jnp.asarray(incidence),
+        kmer_mask=kmer_mask_j,
+        alleles=jnp.asarray(alleles),
+        undefined=jnp.asarray(undefined),
+        all_zeros=jnp.asarray(all_zeros),
         scale=scale,
         trans=jnp.asarray(trans, dtype),
-        allele_local=jnp.asarray(columns.allele_local),
-        nr_local=jnp.asarray(columns.nr_local),
+        allele_local=jnp.asarray(allele_local),
+        nr_local=jnp.asarray(nr_local),
+        is_last=jnp.asarray(is_last),
     )
 
 

@@ -68,6 +68,9 @@ def synthetic_columns(
     allele_local = alleles.copy()  # identity: global allele ids are 0..A-1
     nr_local = np.full(shape + (N,), A, dtype=np.int32)
 
+    is_last = np.zeros(shape + (N,), dtype=bool)
+    is_last[..., N - 1] = True
+
     return ColumnArrays(
         lp=lp,
         pr=pr.astype(dtype),
@@ -80,4 +83,5 @@ def synthetic_columns(
         trans=trans,
         allele_local=allele_local,
         nr_local=nr_local,
+        is_last=is_last,
     )
