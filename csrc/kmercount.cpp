@@ -150,4 +150,40 @@ void pg_update_counts_sorted(const uint64_t* keys, int64_t* counts,
     }
 }
 
+// Fused PRIME+UPDATE streaming: extract canonical k-mers from the
+// sequence batch and accumulate counts for table hits in one pass —
+// no intermediate k-mer array (the read-streaming hot loop).
+void pg_stream_update_counts(
+    const uint8_t* data, const int64_t* offsets, int64_t n_seqs, int k,
+    const uint64_t* keys, int64_t* counts, int64_t n_keys) {
+    uint8_t code[256];
+    init_code_table(code);
+    const uint64_t mask =
+        (k < 32) ? ((1ULL << (2 * k)) - 1ULL) : ~0ULL;
+    for (int64_t s = 0; s < n_seqs; ++s) {
+        const uint8_t* seq = data + offsets[s];
+        const int64_t len = offsets[s + 1] - offsets[s];
+        if (len < k) continue;
+        uint64_t fwd = 0;
+        int valid = 0;
+        for (int64_t i = 0; i < len; ++i) {
+            const uint8_t c = code[seq[i]];
+            if (c > 3) {
+                valid = 0;
+                fwd = 0;
+                continue;
+            }
+            fwd = ((fwd << 2) | c) & mask;
+            if (++valid >= k) {
+                const uint64_t rc = revcomp(fwd, k);
+                const uint64_t canon = fwd < rc ? fwd : rc;
+                const uint64_t* it =
+                    std::lower_bound(keys, keys + n_keys, canon);
+                if (it != keys + n_keys && *it == canon)
+                    ++counts[it - keys];
+            }
+        }
+    }
+}
+
 }  // extern "C"

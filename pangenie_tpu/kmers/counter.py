@@ -167,10 +167,10 @@ class ExactKmerCounter(KmerCounter):
     def _accumulate_block(
         cls, keys: np.ndarray, counts: np.ndarray, block: List[bytes], k: int
     ) -> None:
+        if native.stream_update_counts(block, k, keys, counts):
+            return
         kmers = cls._extract_canonical(block, k)
         if not len(kmers):
-            return
-        if native.update_counts_sorted(keys, counts, kmers):
             return
         idx = np.searchsorted(keys, kmers)
         idx_clip = np.minimum(idx, len(keys) - 1)

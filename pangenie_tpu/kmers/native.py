@@ -65,6 +65,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         lib.pg_update_counts_sorted.argtypes = [
             u64p, i64p, ctypes.c_int64, u64p, ctypes.c_int64
         ]
+        lib.pg_stream_update_counts.restype = None
+        lib.pg_stream_update_counts.argtypes = [
+            u8p, i64p, ctypes.c_int64, ctypes.c_int, u64p, i64p,
+            ctypes.c_int64
+        ]
         _LIB = lib
         return _LIB
 
@@ -132,6 +137,29 @@ def lookup_sorted(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return out[: len(queries)]
+
+
+def stream_update_counts(
+    seqs: List[bytes], k: int, keys: np.ndarray, counts: np.ndarray
+) -> bool:
+    """Fused extract + PRIME/UPDATE accumulation for a sequence batch;
+    no intermediate k-mer arrays. False when the native lib is absent."""
+    lib = _build_and_load()
+    if lib is None:
+        return False
+    if not seqs or not len(keys):
+        return True
+    assert keys.dtype == np.uint64 and counts.dtype == np.int64
+    data, offsets = _pack(seqs)
+    lib.pg_stream_update_counts(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(seqs), k,
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(keys),
+    )
+    return True
 
 
 def update_counts_sorted(

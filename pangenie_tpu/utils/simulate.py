@@ -1,0 +1,188 @@
+"""Synthetic pangenome workload generation.
+
+Produces (reference FASTA, phased panel VCF, read set, truth
+genotypes) tuples for end-to-end tests and benchmarks — the
+counterpart of the reference's demo/pipeline data at arbitrary scale.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def random_reference(length: int, rng: np.random.Generator) -> bytes:
+    return _BASES[rng.integers(0, 4, length)].tobytes()
+
+
+@dataclass
+class SimVariant:
+    position: int            # 0-based
+    ref: bytes
+    alts: List[bytes]
+    genotypes: List[Tuple[int, int]]  # phased, per sample
+
+
+def _random_allele(rng, ref_base: bytes, kind: str) -> bytes:
+    if kind == "snp":
+        choices = [b for b in b"ACGT" if bytes([b]) != ref_base]
+        return bytes([choices[rng.integers(0, 3)]])
+    if kind == "ins":
+        length = int(rng.integers(1, 8))
+        return ref_base + _BASES[rng.integers(0, 4, length)].tobytes()
+    raise AssertionError(kind)
+
+
+def simulate_panel(
+    reference: bytes,
+    nr_samples: int,
+    rng: np.random.Generator,
+    mean_distance: int = 400,
+    kmer_size: int = 31,
+    multiallelic_fraction: float = 0.15,
+    insertion_fraction: float = 0.2,
+) -> List[SimVariant]:
+    """Plant biallelic SNPs / insertions and occasional multi-allelic
+    sites with random phased genotypes; variants stay > 2k from the
+    chromosome ends and >= k apart (no clustering, for clarity)."""
+    variants: List[SimVariant] = []
+    pos = 2 * kmer_size + int(rng.integers(0, mean_distance))
+    end_limit = len(reference) - 2 * kmer_size - 10
+    while pos < end_limit:
+        ref_base = reference[pos : pos + 1]
+        r = rng.random()
+        if r < multiallelic_fraction:
+            # deletion-style multiallelic: REF spans several bases
+            span = int(rng.integers(2, 6))
+            ref_seq = reference[pos : pos + span]
+            alts = [ref_seq[:1], _random_allele(rng, ref_seq[:1], "snp") + ref_seq[1:]]
+        elif r < multiallelic_fraction + insertion_fraction:
+            ref_seq = ref_base
+            alts = [_random_allele(rng, ref_base, "ins")]
+        else:
+            ref_seq = ref_base
+            alts = [_random_allele(rng, ref_base, "snp")]
+
+        nr_alleles = len(alts) + 1
+        freqs = rng.dirichlet(np.ones(nr_alleles) * 0.8)
+        genotypes = [
+            (
+                int(rng.choice(nr_alleles, p=freqs)),
+                int(rng.choice(nr_alleles, p=freqs)),
+            )
+            for _ in range(nr_samples)
+        ]
+        # ensure at least one non-ref haplotype so the record survives
+        if all(g == (0, 0) for g in genotypes):
+            genotypes[0] = (1, genotypes[0][1])
+        variants.append(
+            SimVariant(pos, ref_seq, alts, genotypes)
+        )
+        pos += len(ref_seq) + kmer_size + int(
+            rng.integers(0, 2 * mean_distance)
+        )
+    return variants
+
+
+def write_inputs(
+    outdir: str,
+    reference: bytes,
+    variants: Sequence[SimVariant],
+    chromosome: str = "chr1",
+) -> Tuple[str, str]:
+    """Write reference FASTA + phased panel VCF; returns their paths."""
+    fasta = os.path.join(outdir, "ref.fa")
+    with open(fasta, "w") as out:
+        out.write(f">{chromosome}\n")
+        seq = reference.decode()
+        for i in range(0, len(seq), 80):
+            out.write(seq[i : i + 80] + "\n")
+
+    vcf = os.path.join(outdir, "panel.vcf")
+    nr_samples = len(variants[0].genotypes) if variants else 0
+    with open(vcf, "w") as out:
+        out.write("##fileformat=VCFv4.2\n")
+        out.write(f"##contig=<ID={chromosome}>\n")
+        samples = "\t".join(f"S{i}" for i in range(nr_samples))
+        out.write(
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+            + samples + "\n"
+        )
+        for v in variants:
+            gts = "\t".join(f"{a}|{b}" for a, b in v.genotypes)
+            out.write(
+                f"{chromosome}\t{v.position + 1}\t.\t{v.ref.decode()}\t"
+                f"{','.join(a.decode() for a in v.alts)}\t.\tPASS\t.\tGT\t"
+                + gts + "\n"
+            )
+    return fasta, vcf
+
+
+def haplotype_sequences(
+    reference: bytes, variants: Sequence[SimVariant], sample: int
+) -> Tuple[bytes, bytes]:
+    """Apply the sample's two phased haplotypes to the reference."""
+    haps = []
+    for h in range(2):
+        parts = []
+        prev = 0
+        for v in variants:
+            parts.append(reference[prev : v.position])
+            allele = v.genotypes[sample][h]
+            seq = v.ref if allele == 0 else v.alts[allele - 1]
+            parts.append(seq)
+            prev = v.position + len(v.ref)
+        parts.append(reference[prev:])
+        haps.append(b"".join(parts))
+    return haps[0], haps[1]
+
+
+def simulate_reads(
+    hap1: bytes,
+    hap2: bytes,
+    coverage: float,
+    read_length: int,
+    rng: np.random.Generator,
+    error_rate: float = 0.001,
+    outfile: Optional[str] = None,
+) -> List[bytes]:
+    """Uniform error-prone reads from the two haplotypes."""
+    total_bases = int(coverage * (len(hap1) + len(hap2)) / 2)
+    nr_reads = max(1, total_bases // read_length)
+    reads: List[bytes] = []
+    for _ in range(nr_reads):
+        hap = hap1 if rng.random() < 0.5 else hap2
+        if len(hap) <= read_length:
+            start = 0
+        else:
+            start = int(rng.integers(0, len(hap) - read_length))
+        read = np.frombuffer(hap[start : start + read_length], np.uint8).copy()
+        errors = rng.random(len(read)) < error_rate
+        if errors.any():
+            read[errors] = _BASES[rng.integers(0, 4, int(errors.sum()))]
+        if rng.random() < 0.5:  # random strand
+            comp = bytes(read).translate(
+                bytes.maketrans(b"ACGT", b"TGCA")
+            )[::-1]
+            reads.append(comp)
+        else:
+            reads.append(bytes(read))
+    if outfile:
+        with open(outfile, "w") as out:
+            for i, read in enumerate(reads):
+                out.write(f">read{i}\n{read.decode()}\n")
+    return reads
+
+
+def truth_genotypes(
+    variants: Sequence[SimVariant], sample: int
+) -> Dict[int, Tuple[int, int]]:
+    """position (0-based) -> unordered genotype of the sample."""
+    return {
+        v.position: tuple(sorted(v.genotypes[sample])) for v in variants
+    }
