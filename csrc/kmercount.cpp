@@ -18,6 +18,8 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -148,6 +150,112 @@ void pg_update_counts_sorted(const uint64_t* keys, int64_t* counts,
         const uint64_t* it = std::lower_bound(keys, keys + n_keys, q);
         if (it != keys + n_keys && *it == q) ++counts[it - keys];
     }
+}
+
+// ---------------------------------------------------------------------------
+// Open-addressing hash index over the key set (key -> slot in counts[]),
+// built once per counter and reused across read blocks. Linear probing,
+// splitmix64 finalizer, table sized to the next power of two >= 2n.
+// ---------------------------------------------------------------------------
+
+struct KmerHash {
+    std::vector<uint64_t> keys;   // EMPTY sentinel = ~0
+    std::vector<int64_t> slots;
+    uint64_t mask;
+    static constexpr uint64_t EMPTY = ~0ULL;
+
+    static inline uint64_t mix(uint64_t x) {
+        x += 0x9E3779B97F4A7C15ULL;
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+        return x ^ (x >> 31);
+    }
+
+    explicit KmerHash(const uint64_t* sorted_keys, int64_t n) {
+        uint64_t size = 16;
+        while (size < (uint64_t)(2 * n + 1)) size <<= 1;
+        mask = size - 1;
+        keys.assign(size, EMPTY);
+        slots.assign(size, -1);
+        for (int64_t i = 0; i < n; ++i) {
+            const uint64_t key = sorted_keys[i];
+            uint64_t h = mix(key) & mask;
+            while (keys[h] != EMPTY) h = (h + 1) & mask;
+            keys[h] = key;
+            slots[h] = i;
+        }
+    }
+
+    inline int64_t find(uint64_t key) const {
+        uint64_t h = mix(key) & mask;
+        while (true) {
+            const uint64_t k = keys[h];
+            if (k == key) return slots[h];
+            if (k == EMPTY) return -1;
+            h = (h + 1) & mask;
+        }
+    }
+};
+
+extern "C" void* pg_hash_create(const uint64_t* sorted_keys, int64_t n) {
+    return new KmerHash(sorted_keys, n);
+}
+
+extern "C" void pg_hash_destroy(void* handle) {
+    delete static_cast<KmerHash*>(handle);
+}
+
+// Threaded fused extract + PRIME/UPDATE accumulation via the hash
+// index. Threads split the sequence batch; counts are updated with
+// atomic adds (contention is negligible: different kmers hash apart).
+extern "C" void pg_hash_stream_update(
+    void* handle, const uint8_t* data, const int64_t* offsets,
+    int64_t n_seqs, int k, int64_t* counts, int n_threads) {
+    const KmerHash* hash = static_cast<KmerHash*>(handle);
+    uint8_t code[256];
+    init_code_table(code);
+    const uint64_t kmask =
+        (k < 32) ? ((1ULL << (2 * k)) - 1ULL) : ~0ULL;
+
+    auto worker = [&](int64_t s_begin, int64_t s_end) {
+        for (int64_t s = s_begin; s < s_end; ++s) {
+            const uint8_t* seq = data + offsets[s];
+            const int64_t len = offsets[s + 1] - offsets[s];
+            if (len < k) continue;
+            uint64_t fwd = 0;
+            int valid = 0;
+            for (int64_t i = 0; i < len; ++i) {
+                const uint8_t c = code[seq[i]];
+                if (c > 3) {
+                    valid = 0;
+                    fwd = 0;
+                    continue;
+                }
+                fwd = ((fwd << 2) | c) & kmask;
+                if (++valid >= k) {
+                    const uint64_t rc = revcomp(fwd, k);
+                    const int64_t slot = hash->find(fwd < rc ? fwd : rc);
+                    if (slot >= 0)
+                        __atomic_fetch_add(&counts[slot], 1,
+                                           __ATOMIC_RELAXED);
+                }
+            }
+        }
+    };
+
+    if (n_threads <= 1 || n_seqs < 64) {
+        worker(0, n_seqs);
+        return;
+    }
+    std::vector<std::thread> threads;
+    const int64_t chunk = (n_seqs + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        const int64_t b = t * chunk;
+        const int64_t e = std::min(n_seqs, b + chunk);
+        if (b >= e) break;
+        threads.emplace_back(worker, b, e);
+    }
+    for (auto& th : threads) th.join();
 }
 
 // Fused PRIME+UPDATE streaming: extract canonical k-mers from the

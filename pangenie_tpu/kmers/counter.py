@@ -150,6 +150,9 @@ class ExactKmerCounter(KmerCounter):
         )
         counts = np.zeros(len(keys), dtype=np.int64)
         if len(keys):
+            hash_index = None
+            if native.available():
+                hash_index = native.KmerHashIndex(keys)
             # stream reads in blocks; native extraction + accumulation
             block: List[bytes] = []
             block_bases = 0
@@ -157,16 +160,20 @@ class ExactKmerCounter(KmerCounter):
                 block.append(seq)
                 block_bases += len(seq)
                 if block_bases >= 32 * 1024 * 1024:
-                    cls._accumulate_block(keys, counts, block, k)
+                    cls._accumulate_block(keys, counts, block, k, hash_index)
                     block, block_bases = [], 0
             if block:
-                cls._accumulate_block(keys, counts, block, k)
+                cls._accumulate_block(keys, counts, block, k, hash_index)
         return cls(k, keys, counts)
 
     @classmethod
     def _accumulate_block(
-        cls, keys: np.ndarray, counts: np.ndarray, block: List[bytes], k: int
+        cls, keys: np.ndarray, counts: np.ndarray, block: List[bytes],
+        k: int, hash_index=None,
     ) -> None:
+        if hash_index is not None:
+            hash_index.stream_update(block, k, counts)
+            return
         if native.stream_update_counts(block, k, keys, counts):
             return
         kmers = cls._extract_canonical(block, k)

@@ -70,6 +70,15 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             u8p, i64p, ctypes.c_int64, ctypes.c_int, u64p, i64p,
             ctypes.c_int64
         ]
+        lib.pg_hash_create.restype = ctypes.c_void_p
+        lib.pg_hash_create.argtypes = [u64p, ctypes.c_int64]
+        lib.pg_hash_destroy.restype = None
+        lib.pg_hash_destroy.argtypes = [ctypes.c_void_p]
+        lib.pg_hash_stream_update.restype = None
+        lib.pg_hash_stream_update.argtypes = [
+            ctypes.c_void_p, u8p, i64p, ctypes.c_int64, ctypes.c_int,
+            i64p, ctypes.c_int
+        ]
         _LIB = lib
         return _LIB
 
@@ -137,6 +146,47 @@ def lookup_sorted(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return out[: len(queries)]
+
+
+class KmerHashIndex:
+    """Opaque handle to the native open-addressing key index; built
+    once per counter and reused across read blocks."""
+
+    def __init__(self, keys: np.ndarray):
+        lib = _build_and_load()
+        if lib is None:
+            raise RuntimeError("native k-mer library unavailable")
+        assert keys.dtype == np.uint64
+        self._keys = keys  # keep alive (hash copies, but be safe)
+        self._lib = lib
+        self._handle = lib.pg_hash_create(
+            keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(keys)
+        )
+
+    def stream_update(
+        self, seqs: List[bytes], k: int, counts: np.ndarray,
+        n_threads: int = 0,
+    ) -> None:
+        if not seqs:
+            return
+        assert counts.dtype == np.int64
+        if n_threads <= 0:
+            n_threads = os.cpu_count() or 1
+        data, offsets = _pack(seqs)
+        self._lib.pg_hash_stream_update(
+            self._handle,
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(seqs), k,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_threads,
+        )
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._lib.pg_hash_destroy(handle)
+            self._handle = None
 
 
 def stream_update_counts(

@@ -194,6 +194,26 @@ def select_kmers(
     is_biallelic: bool,
     genomic_counter: KmerCounter,
 ) -> Dict[int, List[int]]:
+    """Pick unique kmers per allele (see _select_kmers_with_counts)."""
+    sorted_kmers = sorted(occurrences.keys())
+    if sorted_kmers:
+        genomic_counts = genomic_counter.get_abundances(
+            np.array(sorted_kmers, dtype=np.uint64)
+        )
+    else:
+        genomic_counts = np.empty(0, dtype=np.int64)
+    return _select_kmers_with_counts(
+        variant, occurrences, is_biallelic, sorted_kmers, genomic_counts
+    )
+
+
+def _select_kmers_with_counts(
+    variant,
+    occurrences: Dict[int, List[int]],
+    is_biallelic: bool,
+    sorted_kmers: List[int],
+    genomic_counts: np.ndarray,
+) -> Dict[int, List[int]]:
     """Pick unique kmers per allele with round-robin caps.
 
     A kmer survives iff: genome-wide count equals its local count
@@ -204,15 +224,8 @@ def select_kmers(
     max(nr_paths, 301) in total. (reference src/uniquekmercomputer.cpp:45-92)
     """
     allele_to_kmers: Dict[int, List[int]] = {}
-    # iterate kmers in packed-integer (== lexicographic) order, matching
+    # kmers iterate in packed-integer (== lexicographic) order, matching
     # the reference's ordered std::map<mer_dna, ...>
-    sorted_kmers = sorted(occurrences.keys())
-    if sorted_kmers:
-        genomic_counts = genomic_counter.get_abundances(
-            np.array(sorted_kmers, dtype=np.uint64)
-        )
-    else:
-        genomic_counts = np.empty(0, dtype=np.int64)
     for kmer, genomic_count in zip(sorted_kmers, genomic_counts):
         local_count = len(occurrences[kmer])
         if genomic_count - local_count != 0:
@@ -244,6 +257,22 @@ def select_kmers(
                 break
         keep_adding = kmer_added
     return {a: kmers for a, kmers in result.items() if kmers}
+
+
+def _concat(parts: List[np.ndarray]) -> np.ndarray:
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def _split_like(flat: np.ndarray, parts: List[np.ndarray]) -> List[np.ndarray]:
+    """Split a batched-lookup result back into per-part arrays."""
+    out = []
+    pos = 0
+    for p in parts:
+        out.append(flat[pos : pos + len(p)])
+        pos += len(p)
+    return out
 
 
 def _collect_allele_occurrences(
@@ -295,37 +324,140 @@ class UniqueKmerComputer:
         self.graph = graph
         self.kmer_coverage = kmer_coverage
 
+    BLOCK = 512  # variants per lookup batch (bounds memory, amortizes
+    #              numpy/native call overhead across bubbles)
+
     def compute_unique_kmers(
         self,
         probabilities: ProbabilityTable,
         delete_processed_variants: bool = False,
     ) -> List[UniqueKmersRecord]:
+        from .mer import unique_kmers_of_allele
+
         result: List[UniqueKmersRecord] = []
         k = self.graph.kmer_size
+        length = 2 * k
         nr_variants = self.graph.size()
-        for v in range(nr_variants):
-            local_coverage = self.compute_local_coverage(v, 2 * k)
-            variant = self.graph.get_variant(v)
-            record, is_biallelic = _make_record(variant)
-            record.set_coverage(local_coverage)
-            occurrences = _collect_allele_occurrences(variant, k, record)
-            allele_to_kmers = select_kmers(
-                variant, occurrences, is_biallelic, self.genomic_kmers
+        min_cov = self.kmer_coverage // 4
+        max_cov = self.kmer_coverage * 4
+
+        for block_start in range(0, nr_variants, self.BLOCK):
+            block = range(
+                block_start, min(block_start + self.BLOCK, nr_variants)
             )
-            for a in sorted(allele_to_kmers):
-                kmers = np.array(allele_to_kmers[a], dtype=np.uint64)
-                counts = self.read_kmers.get_abundances(kmers)
-                for count in counts:
-                    probs = probabilities.get_probability(local_coverage, int(count))
-                    # skip kmers with all-zero probabilities
-                    if probs[0] > 0 or probs[1] > 0 or probs[2] > 0:
-                        record.insert_kmer(int(count), [a])
-            result.append(record)
+            # pass 1: enumerate allele + flanking kmers, gather queries
+            prep = []
+            gen_parts: List[np.ndarray] = []
+            flank_parts: List[np.ndarray] = []
+            for v in block:
+                variant = self.graph.get_variant(v)
+                record, is_biallelic = _make_record(variant)
+                occurrences = _collect_allele_occurrences(variant, k, record)
+                sorted_kmers = np.fromiter(
+                    sorted(occurrences), dtype=np.uint64, count=len(occurrences)
+                )
+                flanks = [
+                    np.sort(
+                        unique_kmers_of_allele(
+                            self.graph.get_left_overhang(v, length), k
+                        )
+                    ),
+                    np.sort(
+                        unique_kmers_of_allele(
+                            self.graph.get_right_overhang(v, length), k
+                        )
+                    ),
+                ]
+                prep.append((variant, record, is_biallelic, occurrences,
+                             sorted_kmers, flanks))
+                gen_parts.append(sorted_kmers)
+                flank_parts.extend(flanks)
+
+            # pass 2: three batched abundance lookups for the block
+            gen_counts = _split_like(
+                self.genomic_kmers.get_abundances(_concat(gen_parts)),
+                gen_parts,
+            )
+            flank_gen = _split_like(
+                self.genomic_kmers.get_abundances(_concat(flank_parts)),
+                flank_parts,
+            )
+            flank_read = _split_like(
+                self.read_kmers.get_abundances(_concat(flank_parts)),
+                flank_parts,
+            )
+
+            # pass 3: per-bubble selection + local coverage
+            sel_parts: List[np.ndarray] = []
+            selections = []
+            for i, (variant, record, is_biallelic, occurrences,
+                    sorted_kmers, flanks) in enumerate(prep):
+                allele_to_kmers = _select_kmers_with_counts(
+                    variant, occurrences, is_biallelic,
+                    sorted_kmers.tolist(), gen_counts[i],
+                )
+                # local coverage: mean read count of <=12 genome-unique
+                # flanking kmers per side, counts outside
+                # [peak/4, 4*peak] skipped AFTER the <=12 cap counter
+                # (reference src/uniquekmercomputer.cpp:195-253)
+                total_coverage = 0
+                total_kmers = 0
+                for side in range(2):
+                    g = flank_gen[2 * i + side]
+                    r = flank_read[2 * i + side]
+                    selected = 0
+                    for gi, ri in zip(g, r):
+                        if selected >= 12:
+                            break
+                        if gi == 1:
+                            selected += 1
+                            if ri < min_cov or ri > max_cov:
+                                continue
+                            total_coverage += int(ri)
+                            total_kmers += 1
+                if total_kmers > 0 and total_coverage > 0:
+                    record.set_coverage(total_coverage // total_kmers)
+                else:
+                    record.set_coverage(self.kmer_coverage)
+
+                ordered = [
+                    (a, kmer)
+                    for a in sorted(allele_to_kmers)
+                    for kmer in allele_to_kmers[a]
+                ]
+                selections.append((record, ordered))
+                sel_parts.append(
+                    np.fromiter(
+                        (kmer for _, kmer in ordered), dtype=np.uint64,
+                        count=len(ordered),
+                    )
+                )
+
+            sel_counts = _split_like(
+                self.read_kmers.get_abundances(_concat(sel_parts)), sel_parts
+            )
+
+            for i, (record, ordered) in enumerate(selections):
+                counts = sel_counts[i]
+                coverage = record.get_coverage()
+                if len(ordered):
+                    probs = probabilities.get_probabilities(coverage, counts)
+                    for (a, _kmer), count, p in zip(ordered, counts, probs):
+                        # skip kmers with all-zero probabilities
+                        if p[0] > 0 or p[1] > 0 or p[2] > 0:
+                            record.insert_kmer(int(count), [a])
+                result.append(record)
+
             if delete_processed_variants:
-                if v > 0:
-                    self.graph.delete_variant(v - 1)
-                if v == nr_variants - 1:
+                # keep the block's last variant: the next block's first
+                # left overhang needs its end position
+                first = block[0]
+                if first > 0:
+                    self.graph.delete_variant(first - 1)
+                for v in block[:-1]:
                     self.graph.delete_variant(v)
+                if block[-1] == nr_variants - 1:
+                    self.graph.delete_variant(block[-1])
         return result
 
     def compute_local_coverage(self, var_index: int, length: int) -> int:
@@ -382,10 +514,14 @@ class StepwiseUniqueKmerComputer:
         self.genomic_kmers = genomic_kmers
         self.graph = graph
 
+    BLOCK = 512
+
     def compute_unique_kmers(
         self, tsv_filename: str, delete_processed_variants: bool = False
     ) -> List[UniqueKmersRecord]:
         import gzip
+
+        from .mer import unique_kmers_of_allele
 
         result: List[UniqueKmersRecord] = []
         k = self.graph.kmer_size
@@ -393,32 +529,89 @@ class StepwiseUniqueKmerComputer:
         nr_variants = self.graph.size()
         with gzip.open(tsv_filename, "wt") as out:
             out.write("#chromosome\tstart\tend\tunique_kmers\tunique_kmers_overhang\n")
-            for v in range(nr_variants):
-                variant = self.graph.get_variant(v)
-                record, is_biallelic = _make_record(variant)
-                record.set_coverage(0)
-                occurrences = _collect_allele_occurrences(variant, k, record)
-                allele_to_kmers = select_kmers(
-                    variant, occurrences, is_biallelic, self.genomic_kmers
+            for block_start in range(0, nr_variants, self.BLOCK):
+                block = range(
+                    block_start, min(block_start + self.BLOCK, nr_variants)
                 )
-                kmer_strs: List[str] = []
-                for a in sorted(allele_to_kmers):
-                    for kmer in allele_to_kmers[a]:
-                        record.insert_kmer(0, [a])
-                        kmer_strs.append(decode_kmer(kmer, k))
-                flanking = self.determine_unique_flanking_kmers(v, overhang_size)
-                out.write(
-                    f"{variant.chromosome}\t{variant.get_start_position()}\t"
-                    f"{variant.get_end_position()}\t"
-                    f"{','.join(kmer_strs) if kmer_strs else 'nan'}\t"
-                    f"{','.join(flanking) if flanking else 'nan'}\n"
+                prep = []
+                gen_parts: List[np.ndarray] = []
+                flank_parts: List[np.ndarray] = []
+                for v in block:
+                    variant = self.graph.get_variant(v)
+                    record, is_biallelic = _make_record(variant)
+                    record.set_coverage(0)
+                    occurrences = _collect_allele_occurrences(
+                        variant, k, record
+                    )
+                    sorted_kmers = np.fromiter(
+                        sorted(occurrences), dtype=np.uint64,
+                        count=len(occurrences),
+                    )
+                    flanks = [
+                        np.sort(
+                            unique_kmers_of_allele(
+                                self.graph.get_left_overhang(v, overhang_size), k
+                            )
+                        ),
+                        np.sort(
+                            unique_kmers_of_allele(
+                                self.graph.get_right_overhang(v, overhang_size), k
+                            )
+                        ),
+                    ]
+                    prep.append((variant, record, is_biallelic, occurrences,
+                                 sorted_kmers, flanks))
+                    gen_parts.append(sorted_kmers)
+                    flank_parts.extend(flanks)
+
+                gen_counts = _split_like(
+                    self.genomic_kmers.get_abundances(_concat(gen_parts)),
+                    gen_parts,
                 )
-                result.append(record)
+                flank_gen = _split_like(
+                    self.genomic_kmers.get_abundances(_concat(flank_parts)),
+                    flank_parts,
+                )
+
+                for i, (variant, record, is_biallelic, occurrences,
+                        sorted_kmers, flanks) in enumerate(prep):
+                    allele_to_kmers = _select_kmers_with_counts(
+                        variant, occurrences, is_biallelic,
+                        sorted_kmers.tolist(), gen_counts[i],
+                    )
+                    kmer_strs: List[str] = []
+                    for a in sorted(allele_to_kmers):
+                        for kmer in allele_to_kmers[a]:
+                            record.insert_kmer(0, [a])
+                            kmer_strs.append(decode_kmer(kmer, k))
+                    # <=12 genome-unique kmers per flank
+                    # (reference src/stepwiseuniquekmercomputer.cpp:227-265)
+                    flanking: List[str] = []
+                    for side in range(2):
+                        g = flank_gen[2 * i + side]
+                        selected = 0
+                        for kmer, gi in zip(flanks[side], g):
+                            if selected >= 12:
+                                break
+                            if gi == 1:
+                                flanking.append(decode_kmer(int(kmer), k))
+                                selected += 1
+                    out.write(
+                        f"{variant.chromosome}\t{variant.get_start_position()}\t"
+                        f"{variant.get_end_position()}\t"
+                        f"{','.join(kmer_strs) if kmer_strs else 'nan'}\t"
+                        f"{','.join(flanking) if flanking else 'nan'}\n"
+                    )
+                    result.append(record)
+
                 if delete_processed_variants:
-                    if v > 0:
-                        self.graph.delete_variant(v - 1)
-                    if v == nr_variants - 1:
+                    first = block[0]
+                    if first > 0:
+                        self.graph.delete_variant(first - 1)
+                    for v in block[:-1]:
                         self.graph.delete_variant(v)
+                    if block[-1] == nr_variants - 1:
+                        self.graph.delete_variant(block[-1])
         return result
 
     def determine_unique_flanking_kmers(
