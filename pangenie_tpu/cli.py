@@ -97,6 +97,10 @@ def main(argv=None) -> int:
                        action="store_true")
     p_vcf.add_argument("-u", dest="ignore_imputed", action="store_true")
 
+    p_uk = sub.add_parser("analyze-uk", help="print unique-kmer matrices")
+    p_uk.add_argument("-i", dest="precomputed_uk", required=True,
+                      help="serialized UniqueKmersMap (.pkl)")
+
     p_sm = sub.add_parser("sampling", help="subsample panel, emit panel VCF")
     p_sm.add_argument("-i", dest="readfile", required=True)
     p_sm.add_argument("-f", dest="precomputed_prefix", required=True)
@@ -169,6 +173,9 @@ def main(argv=None) -> int:
             args.sample_name, only_genotyping, only_phasing,
             args.ignore_imputed,
         )
+
+    if args.command == "analyze-uk":
+        return commands.run_analyze_uk(args.precomputed_uk)
 
     if args.command == "sampling":
         return commands.run_sampling(

@@ -22,6 +22,7 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
 from .hmm.genotyping import PairHMM
+from .utils.timer import PhaseSummary
 from .hmm.sampling import HaplotypeSampler
 from .kmers.counter import ExactKmerCounter, KmerCounter
 from .kmers.unique import StepwiseUniqueKmerComputer, UniqueKmerComputer, UniqueKmersRecord
@@ -107,7 +108,7 @@ def run_index_command(
     check_input_file(reffile)
     check_input_file(vcffile)
 
-    t0 = time.monotonic()
+    summary = PhaseSummary("PanGenie-index")
     segment_file = outname + "_path_segments.fasta"
     unique_kmers_list = UniqueKmersMap(kmersize=kmersize, add_reference=add_reference)
 
@@ -116,12 +117,16 @@ def run_index_command(
     chromosomes = builder.get_chromosomes()
     _log(f"Found {len(chromosomes)} chromosome(s) in the VCF.")
 
+    summary.phase("reading input files")
+
     _log("Count kmers in graph ...")
     genomic_kmer_counts = ExactKmerCounter.count_file(segment_file, kmersize)
+    summary.phase("counting kmers in graph")
 
     _log("Serialize Graph objects ...")
     for chromosome in chromosomes:
         _save(builder.graphs[chromosome], f"{outname}_{chromosome}_Graph.pkl")
+    summary.phase("writing Graph objects to disk")
 
     _log("Determine unique kmers ...")
     for chromosome in chromosomes:
@@ -134,10 +139,13 @@ def run_index_command(
         unique_kmers_list.unique_kmers[chromosome] = records
         unique_kmers_list.runtimes[chromosome] = time.monotonic() - t
 
+    summary.phase("determining unique kmers")
+
     _log("Storing unique kmer information ...")
     _save(unique_kmers_list, outname + "_UniqueKmersMap.pkl")
+    summary.phase("writing UniqueKmersMap to disk")
 
-    _log(f"total wallclock time PanGenie-index: {time.monotonic() - t0:.2f} sec")
+    summary.print_summary()
     return 0
 
 
@@ -379,6 +387,7 @@ def run_genotype_command(
     segment_file = precomputed_prefix + "_path_segments.fasta"
     check_input_file(segment_file)
 
+    summary = PhaseSummary("PanGenie-genotype")
     results = Results()
     chrom_to_sampled: Dict[str, List[SampledPanel]] = {}
 
@@ -409,8 +418,10 @@ def run_genotype_command(
             "(15 haplotypes)"
         )
 
+    summary.phase("reading UniqueKmersMap from disk")
     kmersize = unique_kmers_list.kmersize
     read_kmer_counts = _read_counter(readfile, segment_file, kmersize, count_only_graph)
+    summary.phase("counting kmers in reads")
 
     kmer_abundance_peak = read_kmer_counts.compute_histogram(
         10000, count_only_graph, outname + "_histogram.histo"
@@ -436,17 +447,22 @@ def run_genotype_command(
             output_paths, allele_penalty,
         )
 
+    summary.phase("updating unique kmers / sampling")
+
     _genotyping_block(
         chromosomes, unique_kmers_list, probabilities, results,
         only_genotyping, only_phasing, effective_N, recombrate,
         sampling_size, output_panel, chrom_to_sampled,
     )
+    summary.phase("genotyping (HMM)")
 
     _write_outputs(
         chromosomes, results, precomputed_prefix, outname, sample_name,
         only_genotyping, only_phasing, ignore_imputed, output_panel,
         chrom_to_sampled, serialize_output,
     )
+    summary.phase("writing output")
+    summary.print_summary()
     return 0
 
 
@@ -484,6 +500,7 @@ def run_single_command(
     check_input_file(vcffile)
     check_input_file(readfile)
 
+    summary = PhaseSummary("PanGenie")
     results = Results()
     chrom_to_sampled: Dict[str, List[SampledPanel]] = {}
     segment_file = outname + "_path_segments.fasta"
@@ -543,17 +560,22 @@ def run_single_command(
             add_reference, output_paths, chromosome, allele_penalty,
         )
 
+    summary.phase("determining unique kmers / sampling")
+
     _genotyping_block(
         chromosomes, unique_kmers_list, probabilities, results,
         only_genotyping, only_phasing, effective_N, recombrate,
         sampling_size, output_panel, chrom_to_sampled,
     )
+    summary.phase("genotyping (HMM)")
 
     _write_outputs(
         chromosomes, results, outname, outname, sample_name,
         only_genotyping, only_phasing, ignore_imputed, output_panel,
         chrom_to_sampled, serialize_output,
     )
+    summary.phase("writing output")
+    summary.print_summary()
     return 0
 
 
@@ -667,4 +689,27 @@ def run_sampling(
             outname + "_panel.vcf", chrom_to_sampled[chromosome], write_header
         )
         write_header = False
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# analyze-uk (debug: print unique-kmer matrices)
+# ---------------------------------------------------------------------------
+
+
+def run_analyze_uk(precomputed_uk: str) -> int:
+    """Print the kmer x allele incidence matrix of every variant
+    (reference src/analyze-uk.cpp: one line per allele,
+    chromosome / position / 0-1 kmer bitstring)."""
+    unique_kmers_list: UniqueKmersMap = _load(precomputed_uk)
+    for chromosome in sorted(unique_kmers_list.unique_kmers.keys()):
+        for record in unique_kmers_list.unique_kmers[chromosome]:
+            for allele in record.get_allele_ids():
+                bits = "".join(
+                    "1" if record.kmer_on_allele(ki, allele) else "0"
+                    for ki in range(record.size())
+                )
+                print(
+                    f"{chromosome}\t{record.get_variant_position()}\t{bits}"
+                )
     return 0

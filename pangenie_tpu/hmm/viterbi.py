@@ -74,10 +74,10 @@ def viterbi(columns: ColumnArrays, uniform: bool = False):
             jnp.isfinite(lse), cur - lse, jnp.full(S, -jnp.log(float(S)), dtype)
         )
         backtrace = jnp.where(is_first, jnp.zeros(S, jnp.int32), best_idx.astype(jnp.int32))
-        return (cur, jnp.zeros((), bool)), (cur, backtrace)
+        return (cur, jnp.zeros((), bool)), backtrace
 
     init = (jnp.zeros(S, dtype), jnp.ones((), bool))
-    (last, _), (values, backtraces) = jax.lax.scan(step, init, columns)
+    (last, _), backtraces = jax.lax.scan(step, init, columns)
 
     # best final state: reference takes `>=` over ascending i => last max
     # (src/hmm.cpp:132-141), on sum-normalized probabilities. Our values
