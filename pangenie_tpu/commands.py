@@ -276,35 +276,35 @@ def _genotyping_block(
         _log(f"Sampled {len(phasing_paths)} paths to be used for phasing.")
 
     _log("Construct HMM and run core algorithm ...")
+    t = time.monotonic()
+    all_runs: List[tuple] = []
     for chromosome in chromosomes:
         records = unique_kmers_list.unique_kmers[chromosome]
-        t = time.monotonic()
-        runs: List[PairHMM] = []
         if not only_genotyping:
-            runs.append(
-                PairHMM(
-                    records, probabilities, False, True, recombrate,
-                    False, effective_N, phasing_paths, normalize=False,
-                )
-            )
+            all_runs.append((chromosome, PairHMM(
+                records, probabilities, False, True, recombrate,
+                False, effective_N, phasing_paths, normalize=False,
+                defer=True,
+            )))
         if not only_phasing:
             for subset in subsets:
-                runs.append(
-                    PairHMM(
-                        records, probabilities, True, False, recombrate,
-                        False, effective_N, subset, normalize=False,
-                    )
-                )
-        for hmm in runs:
-            if chromosome not in results.result:
-                results.result[chromosome] = hmm.move_genotyping_result()
-            else:
-                stored = results.result[chromosome]
-                for i, likelihoods in enumerate(hmm.move_genotyping_result()):
-                    stored[i].combine(likelihoods)
-        results.runtimes[chromosome] = (
-            results.runtimes.get(chromosome, 0.0) + time.monotonic() - t
-        )
+                all_runs.append((chromosome, PairHMM(
+                    records, probabilities, True, False, recombrate,
+                    False, effective_N, subset, normalize=False,
+                    defer=True,
+                )))
+    # the (chromosome x subset) grid executes as batched device scans
+    PairHMM.run_deferred([hmm for _, hmm in all_runs])
+    for chromosome, hmm in all_runs:
+        if chromosome not in results.result:
+            results.result[chromosome] = hmm.move_genotyping_result()
+        else:
+            stored = results.result[chromosome]
+            for i, likelihoods in enumerate(hmm.move_genotyping_result()):
+                stored[i].combine(likelihoods)
+    for chromosome in chromosomes:
+        results.runtimes[chromosome] = results.runtimes.get(chromosome, 0.0)
+    results.runtimes["all"] = time.monotonic() - t
 
     if not only_phasing:
         for chromosome in chromosomes:

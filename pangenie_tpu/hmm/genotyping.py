@@ -129,7 +129,13 @@ def _to_device_columns(
 
 
 class PairHMM:
-    """Forward-Backward + Viterbi over path-pair states."""
+    """Forward-Backward + Viterbi over path-pair states.
+
+    With ``defer=True`` the constructor only densifies inputs; call
+    :func:`run_deferred` on a list of deferred instances to execute
+    them batched — instances whose padded device shapes match run as
+    ONE vmapped scan (chromosomes and path subsets become a batch dim).
+    """
 
     def __init__(
         self,
@@ -143,37 +149,54 @@ class PairHMM:
         only_paths: Optional[Sequence[int]] = None,
         normalize: bool = True,
         dtype=jnp.float64,
+        defer: bool = False,
     ):
         self.records = records
+        self._run_genotyping = run_genotyping
+        self._run_phasing = run_phasing
+        self._normalize = normalize
+        self._uniform = uniform
         self.genotyping_result: List[GenotypeLikelihoods] = [
             GenotypeLikelihoods() for _ in records
         ]
         columns = build_columns(records, probabilities, only_paths)
         self.columns = columns
+        self.device_cols = None
         if columns.n_columns > 0:
-            device_cols = _to_device_columns(
+            self.device_cols = _to_device_columns(
                 columns, recombrate, effective_N, uniform, dtype
             )
-            if run_genotyping:
-                posteriors, log_corr = forward_backward(device_cols)
-                self._scatter_genotypes(
+        if not defer:
+            self._execute()
+
+    def _execute(self) -> None:
+        if self.device_cols is not None:
+            if self._run_genotyping:
+                posteriors, log_corr = forward_backward(self.device_cols)
+                self._finish_genotyping(
                     np.asarray(posteriors), np.asarray(log_corr)
                 )
-                for i, record in enumerate(records):
-                    self.genotyping_result[i].nr_unique_kmers = record.size()
-                    self.genotyping_result[i].coverage = record.get_coverage()
-                if normalize:
-                    for g in self.genotyping_result:
-                        g.normalize()
-            if run_phasing:
+            if self._run_phasing:
                 states = np.asarray(
-                    viterbi(device_cols, uniform=uniform)
+                    viterbi(self.device_cols, uniform=self._uniform)
                 )
                 self._scatter_haplotypes(states)
-        elif run_genotyping:
-            for i, record in enumerate(records):
-                self.genotyping_result[i].nr_unique_kmers = record.size()
-                self.genotyping_result[i].coverage = record.get_coverage()
+        elif self._run_genotyping:
+            self._store_kmer_stats()
+
+    def _store_kmer_stats(self) -> None:
+        for i, record in enumerate(self.records):
+            self.genotyping_result[i].nr_unique_kmers = record.size()
+            self.genotyping_result[i].coverage = record.get_coverage()
+
+    def _finish_genotyping(
+        self, posteriors: np.ndarray, log_corr: np.ndarray
+    ) -> None:
+        self._scatter_genotypes(posteriors, log_corr)
+        self._store_kmer_stats()
+        if self._normalize:
+            for g in self.genotyping_result:
+                g.normalize()
 
     # -- host scatter ------------------------------------------------------
 
@@ -226,6 +249,49 @@ class PairHMM:
         result = self.genotyping_result
         self.genotyping_result = []
         return result
+
+    @staticmethod
+    def run_deferred(hmms: Sequence["PairHMM"]) -> None:
+        """Execute deferred PairHMMs, batching shape-compatible runs.
+
+        Genotyping runs whose padded device tensors have identical
+        shapes (same bucket: chromosomes of similar size, path subsets
+        of the same panel) execute as ONE vmapped forward-backward —
+        the (chromosome x subset) grid becomes a batch dimension, as in
+        the reference's thread pool over the same grid
+        (src/commands.cpp:955-978). Phasing (Viterbi) runs likewise.
+        """
+        import jax
+
+        groups = {}
+        for hmm in hmms:
+            if hmm.device_cols is None:
+                if hmm._run_genotyping:
+                    hmm._store_kmer_stats()
+                continue
+            key = tuple(x.shape for x in hmm.device_cols)
+            groups.setdefault((key, hmm._run_genotyping, hmm._run_phasing,
+                               hmm._uniform), []).append(hmm)
+
+        for (key, run_g, run_p, uniform), members in groups.items():
+            if len(members) == 1:
+                members[0]._execute()
+                continue
+            stacked = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[h.device_cols for h in members]
+            )
+            if run_g:
+                posteriors, log_corr = jax.vmap(forward_backward)(stacked)
+                posteriors = np.asarray(posteriors)
+                log_corr = np.asarray(log_corr)
+                for i, hmm in enumerate(members):
+                    hmm._finish_genotyping(posteriors[i], log_corr[i])
+            if run_p:
+                states = np.asarray(
+                    jax.vmap(lambda c: viterbi(c, uniform=uniform))(stacked)
+                )
+                for i, hmm in enumerate(members):
+                    hmm._scatter_haplotypes(states[i])
 
     def combine_likelihoods(self, other: "PairHMM") -> None:
         if len(self.genotyping_result) != len(other.genotyping_result):
