@@ -19,7 +19,7 @@ import pickle
 import sys
 import time
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from .hmm.genotyping import PairHMM
 from .utils.timer import PhaseSummary

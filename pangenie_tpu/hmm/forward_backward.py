@@ -22,7 +22,6 @@ Re-design of the reference HMM forward/backward passes
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -18,12 +18,9 @@ host-memory trick TPU HBM does not need at phasing scale.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
-
 import jax
 import jax.numpy as jnp
 
-from .emissions import log_emission_column
 from .forward_backward import ColumnArrays, _emission
 
 

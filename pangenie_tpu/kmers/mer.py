@@ -20,8 +20,6 @@ Two enumeration flavours:
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 from ..io.sequence import encode_bases

@@ -17,7 +17,6 @@ Also hosts the two selection drivers:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -25,7 +24,7 @@ import numpy as np
 from ..model.probabilities import ProbabilityTable
 from ..panel.graph import ChromosomeGraph
 from .counter import KmerCounter
-from .mer import decode_kmer, rolling_kmers_with_final
+from .mer import decode_kmer
 
 
 class UniqueKmersRecord:

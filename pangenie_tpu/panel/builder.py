@@ -14,7 +14,7 @@ what gets densified into device tensors downstream.
 from __future__ import annotations
 
 import re
-from typing import Dict, Iterator, List, Tuple
+from typing import Dict, List
 
 from ..io.fasta import FastaReader
 from ..io.sequence import normalize_sequence

@@ -11,7 +11,7 @@ alleles).
 from __future__ import annotations
 
 import time
-from typing import List, Optional, Sequence, TextIO
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -200,8 +200,6 @@ class ChromosomeGraph:
 
         (reference src/graph.cpp:118-278)
         """
-        import math
-
         if self.variants_deleted:
             raise RuntimeError(
                 "ChromosomeGraph.write_genotypes: variants were deleted; re-build object."

@@ -19,7 +19,7 @@ identically we replicate those exact bit streams:
 
 from __future__ import annotations
 
-from typing import List, MutableSequence
+from typing import MutableSequence
 
 
 class MinstdRand0:
