@@ -81,10 +81,10 @@ def _read_counter(
     readfile: str, segment_file: str, kmersize: int, count_only_graph: bool
 ) -> KmerCounter:
     if readfile.endswith(".jf"):
-        raise RuntimeError(
-            "Jellyfish .jf databases are not supported by the TPU rebuild; "
-            "provide reads in FASTA/FASTQ format."
-        )
+        from .kmers.jf_reader import read_jf
+
+        _log("Read pre-computed read kmer counts ...")
+        return read_jf(readfile, kmersize)
     _log("Count kmers in reads ...")
     if count_only_graph:
         return ExactKmerCounter.count_file_primed(readfile, [segment_file], kmersize)
