@@ -114,51 +114,18 @@ def extract_canonical(codes: jax.Array, k: int):
     return chi, clo, ~invalid
 
 
-@jax.jit
-def count_kmers(hi: jax.Array, lo: jax.Array, valid: jax.Array):
-    """Sorted count table from flattened kmer arrays.
+def _sorted_segment_count(hi, lo, weights):
+    """Sort (hi, lo) pairs and sum weights per distinct key.
 
-    Invalid entries sort to the top (key 0xFFFFFFFF) and are excluded
-    via the returned table mask.
-
-    Returns (keys_hi, keys_lo, counts, table_mask): [N] arrays where
-    table_mask marks real unique-key slots (dense prefix).
+    Entries with key 0xFFFFFFFF:0xFFFFFFFF (or zero weight) are treated
+    as padding: they sort to the top and are masked out. Returns
+    (keys_hi, keys_lo, counts, mask) with real keys in a dense prefix.
     """
-    hi = jnp.where(valid, hi, jnp.uint32(0xFFFFFFFF))
-    lo = jnp.where(valid, lo, jnp.uint32(0xFFFFFFFF))
-    shi, slo, svalid = jax.lax.sort(
-        (hi.ravel(), lo.ravel(), valid.ravel()), num_keys=2
+    shi, slo, scnt = jax.lax.sort(
+        (hi.ravel(), lo.ravel(), weights.ravel()), num_keys=2
     )
     n = shi.shape[0]
     # segment starts: first element or different from predecessor
-    prev_hi = jnp.concatenate([shi[:1] ^ jnp.uint32(1), shi[:-1]])
-    prev_lo = jnp.concatenate([slo[:1], slo[:-1]])
-    is_start = (shi != prev_hi) | (slo != prev_lo)
-    seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-    counts = jnp.zeros(n, jnp.int32).at[seg_id].add(svalid.astype(jnp.int32))
-    start_idx = jnp.nonzero(is_start, size=n, fill_value=n - 1)[0]
-    keys_hi = shi[start_idx]
-    keys_lo = slo[start_idx]
-    seg_counts = counts[: n]
-    nsegs = jnp.sum(is_start.astype(jnp.int32))
-    slot = jnp.arange(n)
-    table_mask = (slot < nsegs) & (seg_counts > 0)
-    return keys_hi, keys_lo, seg_counts, table_mask
-
-
-@jax.jit
-def merge_tables(
-    ahi, alo, acnt, amask, bhi, blo, bcnt, bmask
-):
-    """Merge two sorted count tables (concat + re-sort + segment-sum)."""
-    hi = jnp.concatenate([jnp.where(amask, ahi, jnp.uint32(0xFFFFFFFF)),
-                          jnp.where(bmask, bhi, jnp.uint32(0xFFFFFFFF))])
-    lo = jnp.concatenate([jnp.where(amask, alo, jnp.uint32(0xFFFFFFFF)),
-                          jnp.where(bmask, blo, jnp.uint32(0xFFFFFFFF))])
-    cnt = jnp.concatenate([jnp.where(amask, acnt, 0),
-                           jnp.where(bmask, bcnt, 0)])
-    shi, slo, scnt = jax.lax.sort((hi, lo, cnt), num_keys=2)
-    n = shi.shape[0]
     prev_hi = jnp.concatenate([shi[:1] ^ jnp.uint32(1), shi[:-1]])
     prev_lo = jnp.concatenate([slo[:1], slo[:-1]])
     is_start = (shi != prev_hi) | (slo != prev_lo)
@@ -173,6 +140,35 @@ def merge_tables(
     return keys_hi, keys_lo, counts, mask
 
 
+@jax.jit
+def count_kmers(hi: jax.Array, lo: jax.Array, valid: jax.Array):
+    """Sorted count table from flattened kmer arrays.
+
+    Invalid entries sort to the top (key 0xFFFFFFFF) and are excluded
+    via the returned table mask.
+
+    Returns (keys_hi, keys_lo, counts, table_mask): [N] arrays where
+    table_mask marks real unique-key slots (dense prefix).
+    """
+    hi = jnp.where(valid, hi, jnp.uint32(0xFFFFFFFF))
+    lo = jnp.where(valid, lo, jnp.uint32(0xFFFFFFFF))
+    return _sorted_segment_count(hi, lo, valid.astype(jnp.int32))
+
+
+@jax.jit
+def merge_tables(
+    ahi, alo, acnt, amask, bhi, blo, bcnt, bmask
+):
+    """Merge two sorted count tables (concat + re-sort + segment-sum)."""
+    hi = jnp.concatenate([jnp.where(amask, ahi, jnp.uint32(0xFFFFFFFF)),
+                          jnp.where(bmask, bhi, jnp.uint32(0xFFFFFFFF))])
+    lo = jnp.concatenate([jnp.where(amask, alo, jnp.uint32(0xFFFFFFFF)),
+                          jnp.where(bmask, blo, jnp.uint32(0xFFFFFFFF))])
+    cnt = jnp.concatenate([jnp.where(amask, acnt, 0),
+                           jnp.where(bmask, bcnt, 0)])
+    return _sorted_segment_count(hi, lo, cnt)
+
+
 @partial(jax.jit, static_argnames=("max_count",))
 def histogram(counts: jax.Array, mask: jax.Array, max_count: int):
     """count -> frequency histogram (clamped at max_count)."""
@@ -180,6 +176,62 @@ def histogram(counts: jax.Array, mask: jax.Array, max_count: int):
     return jnp.zeros(max_count + 1, jnp.int32).at[c].add(
         mask.astype(jnp.int32)
     )[1:]
+
+
+def sharded_count_kmers(mesh, codes: np.ndarray, k: int):
+    """Count a [B, L] read batch sharded over a device mesh.
+
+    Each device extracts + counts its read shard locally in HBM, then
+    the partial tables merge through an ``all_gather`` over the mesh's
+    'batch' axis followed by the same local sort/segment-sum merge —
+    the collective replacement for the reference's shared lock-free
+    hash (src/jellyfishcounter.cpp:26-49). At pod scale the gather
+    would become a hash-partitioned ``all_to_all`` so each device owns
+    a key range; the gather version is exact and ICI-friendly at
+    single-host sizes.
+
+    Returns replicated (keys_hi, keys_lo, counts, mask) device arrays.
+    """
+    import jax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from functools import partial
+
+    axis = mesh.axis_names[-1]
+    n_dev = mesh.devices.size
+    B = codes.shape[0]
+    if B % n_dev:
+        pad = n_dev - B % n_dev
+        codes = np.concatenate(
+            [codes, np.full((pad,) + codes.shape[1:], 4, dtype=codes.dtype)]
+        )
+    flat_mesh = jax.sharding.Mesh(mesh.devices.reshape(-1), (axis,))
+    sharded = jax.device_put(
+        jnp.asarray(codes), NamedSharding(flat_mesh, P(axis))
+    )
+
+    @partial(
+        shard_map,
+        mesh=flat_mesh,
+        in_specs=(P(axis),),
+        out_specs=(P(), P(), P(), P()),
+        check_rep=False,
+    )
+    def count(local_codes):
+        hi, lo, valid = extract_canonical(local_codes, k)
+        khi, klo, cnt, mask = count_kmers(hi, lo, valid)
+        # merge partials: gather every device's table, re-count
+        all_hi = jax.lax.all_gather(khi, axis).ravel()
+        all_lo = jax.lax.all_gather(klo, axis).ravel()
+        all_cnt = jax.lax.all_gather(cnt, axis).ravel()
+        all_mask = jax.lax.all_gather(mask, axis).ravel()
+        return _sorted_segment_count(
+            jnp.where(all_mask, all_hi, jnp.uint32(0xFFFFFFFF)),
+            jnp.where(all_mask, all_lo, jnp.uint32(0xFFFFFFFF)),
+            jnp.where(all_mask, all_cnt, 0),
+        )
+
+    return count(sharded)
 
 
 class DeviceKmerCounter:

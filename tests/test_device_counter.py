@@ -58,3 +58,31 @@ def test_device_counter_roundtrip_lookup():
         query = read[:21].decode()
         host = ExactKmerCounter.count_sequences(reads, 21)
         assert counter.get_kmer_abundance(query) == host.get_kmer_abundance(query)
+
+
+def test_sharded_count_matches_host():
+    """Mesh-sharded counting: per-device partial tables merged via
+    all_gather equal the host counter exactly."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from pangenie_tpu.parallel.mesh import make_mesh
+    from pangenie_tpu.kmers.device_counter import sharded_count_kmers
+
+    rng = np.random.default_rng(5)
+    reads = _random_reads(rng, 40, 64, with_ns=True)  # 40 % 8 != 0: pads
+    host = ExactKmerCounter.count_sequences(reads, 21)
+
+    mesh = make_mesh(8)
+    codes, _ = pack_read_batch(reads)
+    hi, lo, counts, mask = (
+        np.asarray(x) for x in sharded_count_kmers(mesh, codes, 21)
+    )
+    keep = mask.astype(bool)
+    keys = (hi[keep].astype(np.uint64) << np.uint64(32)) | lo[keep].astype(
+        np.uint64
+    )
+    order = np.argsort(keys)
+    assert np.array_equal(keys[order], host.keys)
+    assert np.array_equal(counts[keep][order].astype(np.int64), host.counts)
