@@ -14,9 +14,29 @@ BASELINE.json land in later rounds.
 """
 
 import json
+import sys
 import time
 
 BASELINE_COLUMNS_PER_SEC = 36_000_000 / (55 * 60)
+
+
+def _ensure_backend() -> None:
+    """Fail over to CPU if the (tunneled, occasionally flaky) TPU
+    backend cannot initialize — an honest-but-small number beats a
+    crashed benchmark run."""
+    import jax
+
+    for attempt in range(2):
+        try:
+            jax.devices()
+            return
+        except RuntimeError as e:
+            print(f"backend init failed (attempt {attempt}): {e}",
+                  file=sys.stderr)
+            time.sleep(20)
+    jax.config.update("jax_platforms", "cpu")
+    jax.devices()
+    print("WARNING: benchmarking on CPU fallback", file=sys.stderr)
 
 
 def main() -> None:
@@ -26,6 +46,7 @@ def main() -> None:
     from pangenie_tpu.hmm.forward_backward import forward_backward
     from pangenie_tpu.utils.synthetic import synthetic_columns
 
+    _ensure_backend()
     B, N, P, K = 8, 4096, 32, 16
     columns = synthetic_columns(
         n_columns=N, n_paths=P, n_kmers=K, batch_dims=(B,),

@@ -63,6 +63,17 @@ class Results:
     runtimes: Dict[str, float] = field(default_factory=dict)
 
 
+def _hmm_dtype():
+    """HMM device dtype: float64 (reference parity, default) or float32
+    (the fast TPU path — f64 is software-emulated on TPU) via
+    PANGENIE_TPU_DTYPE=float32."""
+    import jax.numpy as jnp
+
+    if os.environ.get("PANGENIE_TPU_DTYPE", "").lower() in ("float32", "f32"):
+        return jnp.float32
+    return jnp.float64
+
+
 def _log(msg: str) -> None:
     print(msg, file=sys.stderr)
 
@@ -277,6 +288,7 @@ def _genotyping_block(
 
     _log("Construct HMM and run core algorithm ...")
     t = time.monotonic()
+    dtype = _hmm_dtype()
     all_runs: List[tuple] = []
     for chromosome in chromosomes:
         records = unique_kmers_list.unique_kmers[chromosome]
@@ -284,17 +296,25 @@ def _genotyping_block(
             all_runs.append((chromosome, PairHMM(
                 records, probabilities, False, True, recombrate,
                 False, effective_N, phasing_paths, normalize=False,
-                defer=True,
+                dtype=dtype, defer=True,
             )))
         if not only_phasing:
             for subset in subsets:
                 all_runs.append((chromosome, PairHMM(
                     records, probabilities, True, False, recombrate,
                     False, effective_N, subset, normalize=False,
-                    defer=True,
+                    dtype=dtype, defer=True,
                 )))
-    # the (chromosome x subset) grid executes as batched device scans
-    PairHMM.run_deferred([hmm for _, hmm in all_runs])
+    # the (chromosome x subset) grid executes as batched device scans;
+    # PANGENIE_TPU_PROFILE=<dir> wraps it in a jax.profiler trace
+    profile_dir = os.environ.get("PANGENIE_TPU_PROFILE")
+    if profile_dir:
+        import jax
+
+        with jax.profiler.trace(profile_dir):
+            PairHMM.run_deferred([hmm for _, hmm in all_runs])
+    else:
+        PairHMM.run_deferred([hmm for _, hmm in all_runs])
     for chromosome, hmm in all_runs:
         if chromosome not in results.result:
             results.result[chromosome] = hmm.move_genotyping_result()
