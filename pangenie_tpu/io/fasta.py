@@ -92,7 +92,11 @@ class FastaReader:
         return list(self._sequences.keys())
 
     def get_total_kmers(self, kmer_size: int) -> int:
-        return sum(max(0, len(s) - kmer_size) for s in self._sequences.values())
+        """Total k-mer windows over all sequences
+        (reference src/fastareader.cpp: size - k + 1 per sequence)."""
+        return sum(
+            max(0, len(s) - kmer_size + 1) for s in self._sequences.values()
+        )
 
     def extract_name(self, name: str) -> "FastaReader":
         """Move one chromosome's sequence into a new FastaReader.
