@@ -46,47 +46,74 @@ def simulate_panel(
     kmer_size: int = 31,
     multiallelic_fraction: float = 0.15,
     insertion_fraction: float = 0.2,
+    cluster_fraction: float = 0.0,
+    sv_fraction: float = 0.0,
+    sv_length: int = 200,
 ) -> List[SimVariant]:
     """Plant biallelic SNPs / insertions and occasional multi-allelic
     sites with random phased genotypes; variants stay > 2k from the
-    chromosome ends and >= k apart (no clustering, for clarity)."""
+    chromosome ends. ``cluster_fraction`` plants a second variant
+    < k-1 bp downstream (exercising bubble merging/separation);
+    ``sv_fraction`` plants large (~sv_length bp) insertions."""
     variants: List[SimVariant] = []
     pos = 2 * kmer_size + int(rng.integers(0, mean_distance))
     end_limit = len(reference) - 2 * kmer_size - 10
     while pos < end_limit:
         ref_base = reference[pos : pos + 1]
         r = rng.random()
-        if r < multiallelic_fraction:
+        if r < sv_fraction:
+            length = int(rng.integers(sv_length // 2, 2 * sv_length))
+            ref_seq = ref_base
+            alts = [ref_base + _BASES[rng.integers(0, 4, length)].tobytes()]
+        elif r < sv_fraction + multiallelic_fraction:
             # deletion-style multiallelic: REF spans several bases
             span = int(rng.integers(2, 6))
             ref_seq = reference[pos : pos + span]
             alts = [ref_seq[:1], _random_allele(rng, ref_seq[:1], "snp") + ref_seq[1:]]
-        elif r < multiallelic_fraction + insertion_fraction:
+        elif r < sv_fraction + multiallelic_fraction + insertion_fraction:
             ref_seq = ref_base
             alts = [_random_allele(rng, ref_base, "ins")]
         else:
             ref_seq = ref_base
             alts = [_random_allele(rng, ref_base, "snp")]
 
-        nr_alleles = len(alts) + 1
-        freqs = rng.dirichlet(np.ones(nr_alleles) * 0.8)
-        genotypes = [
-            (
-                int(rng.choice(nr_alleles, p=freqs)),
-                int(rng.choice(nr_alleles, p=freqs)),
-            )
-            for _ in range(nr_samples)
-        ]
-        # ensure at least one non-ref haplotype so the record survives
-        if all(g == (0, 0) for g in genotypes):
-            genotypes[0] = (1, genotypes[0][1])
         variants.append(
-            SimVariant(pos, ref_seq, alts, genotypes)
+            SimVariant(pos, ref_seq, alts,
+                       _random_genotypes(rng, len(alts) + 1, nr_samples))
         )
+        if rng.random() < cluster_fraction:
+            # companion SNP < k-1 bp away -> same merged bubble
+            gap = int(rng.integers(2, kmer_size - 2))
+            snp_pos = variants[-1].position + len(ref_seq) + gap
+            if snp_pos < end_limit:
+                snp_ref = reference[snp_pos : snp_pos + 1]
+                variants.append(
+                    SimVariant(
+                        snp_pos, snp_ref,
+                        [_random_allele(rng, snp_ref, "snp")],
+                        _random_genotypes(rng, 2, nr_samples),
+                    )
+                )
+                pos = snp_pos + 1
         pos += len(ref_seq) + kmer_size + int(
             rng.integers(0, 2 * mean_distance)
         )
     return variants
+
+
+def _random_genotypes(rng, nr_alleles, nr_samples):
+    freqs = rng.dirichlet(np.ones(nr_alleles) * 0.8)
+    genotypes = [
+        (
+            int(rng.choice(nr_alleles, p=freqs)),
+            int(rng.choice(nr_alleles, p=freqs)),
+        )
+        for _ in range(nr_samples)
+    ]
+    # ensure at least one non-ref haplotype so the record survives
+    if all(g == (0, 0) for g in genotypes):
+        genotypes[0] = (1, genotypes[0][1])
+    return genotypes
 
 
 def write_inputs(
