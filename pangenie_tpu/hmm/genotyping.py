@@ -159,6 +159,13 @@ class PairHMM:
         self.genotyping_result: List[GenotypeLikelihoods] = [
             GenotypeLikelihoods() for _ in records
         ]
+        if not records:
+            # a chromosome with no variant records is a no-op HMM
+            self.columns = None
+            self.device_cols = None
+            if not defer:
+                self._execute()
+            return
         columns = build_columns(records, probabilities, only_paths)
         self.columns = columns
         self.device_cols = None
