@@ -63,6 +63,19 @@ class Results:
     runtimes: Dict[str, float] = field(default_factory=dict)
 
 
+def _warm_backend() -> None:
+    """Initialize the JAX backend up front: the tunneled TPU backend's
+    grant can expire if the first device use happens only after long
+    host-side phases (observed with the axon relay), so claim it before
+    parsing/counting starts."""
+    try:
+        import jax
+
+        jax.devices()
+    except Exception as e:  # fall back to whatever jax resolves later
+        _log(f"Warning: JAX backend warm-up failed ({e}).")
+
+
 def _hmm_dtype():
     """HMM device dtype: float64 (reference parity, default) or float32
     (the fast TPU path — f64 is software-emulated on TPU) via
@@ -119,6 +132,7 @@ def run_index_command(
     check_input_file(reffile)
     check_input_file(vcffile)
 
+    _warm_backend()
     summary = PhaseSummary("PanGenie-index")
     segment_file = outname + "_path_segments.fasta"
     unique_kmers_list = UniqueKmersMap(kmersize=kmersize, add_reference=add_reference)
@@ -407,6 +421,7 @@ def run_genotype_command(
     segment_file = precomputed_prefix + "_path_segments.fasta"
     check_input_file(segment_file)
 
+    _warm_backend()
     summary = PhaseSummary("PanGenie-genotype")
     results = Results()
     chrom_to_sampled: Dict[str, List[SampledPanel]] = {}
@@ -520,6 +535,7 @@ def run_single_command(
     check_input_file(vcffile)
     check_input_file(readfile)
 
+    _warm_backend()
     summary = PhaseSummary("PanGenie")
     results = Results()
     chrom_to_sampled: Dict[str, List[SampledPanel]] = {}
