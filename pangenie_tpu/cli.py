@@ -97,6 +97,11 @@ def main(argv=None) -> int:
                        action="store_true")
     p_vcf.add_argument("-u", dest="ignore_imputed", action="store_true")
 
+    p_cc = sub.add_parser("concordance",
+                          help="genotype concordance vs a truth VCF")
+    p_cc.add_argument("-c", dest="called_vcf", required=True)
+    p_cc.add_argument("-t", dest="truth_vcf", required=True)
+
     p_uk = sub.add_parser("analyze-uk", help="print unique-kmer matrices")
     p_uk.add_argument("-i", dest="precomputed_uk", required=True,
                       help="serialized UniqueKmersMap (.pkl)")
@@ -173,6 +178,19 @@ def main(argv=None) -> int:
             args.sample_name, only_genotyping, only_phasing,
             args.ignore_imputed,
         )
+
+    if args.command == "concordance":
+        from .eval.concordance import genotype_concordance
+
+        result = genotype_concordance(args.called_vcf, args.truth_vcf)
+        print(
+            f"total\t{result.total}\ncorrect\t{result.correct}\n"
+            f"wrong\t{result.wrong}\nno_call\t{result.no_call}\n"
+            f"concordance\t{result.concordance:.6f}"
+        )
+        for cls, (hit, tot) in sorted(result.by_class.items()):
+            print(f"{cls}\t{hit}/{tot}")
+        return 0
 
     if args.command == "analyze-uk":
         return commands.run_analyze_uk(args.precomputed_uk)

@@ -8,3 +8,10 @@ from .mer import (
 )
 from .counter import ExactKmerCounter, KmerCounter
 from .histogram import Histogram, compute_kmer_coverage_from_peaks
+from .device_counter import DeviceKmerCounter, sharded_count_kmers
+from .jf_reader import read_jf
+from .unique import (
+    StepwiseUniqueKmerComputer,
+    UniqueKmerComputer,
+    UniqueKmersRecord,
+)

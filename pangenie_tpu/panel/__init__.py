@@ -1,3 +1,5 @@
 from .variant import VariantBubble
 from .graph import ChromosomeGraph
 from .builder import PanelBuilder
+from .sampling import PathSampler
+from .variant import GenotypeLikelihoods, SampledPanel, VariantStats
