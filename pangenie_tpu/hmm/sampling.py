@@ -23,8 +23,11 @@ minima and final-column argmin; on stay-vs-switch cost ties the switch
 (helper) wins because the stay path only replaces on strict '<'
 (src/haplotypesampler.cpp:267-274).
 
-The reference's sqrt(N) column checkpointing is a CPU memory trick; we
-store the [N, P] backtrace in HBM.
+For short chromosomes the full [N, P] backtrace lives in HBM; beyond
+~65k columns the checkpointed variant streams column segments and
+recomputes backtraces per segment during the backward chase — the
+device analogue of the reference's sqrt(N) sparse table
+(src/haplotypesampler.cpp:116-126), with O(segment * P) device memory.
 """
 
 from __future__ import annotations
@@ -154,6 +157,126 @@ def _viterbi_iteration(path_cost, mask, switch_cost):
     return path, best_score
 
 
+@jax.jit
+def _segment_forward(carry, path_cost, mask, switch_cost):
+    """Run the forward recurrence over one column segment, returning
+    only the end-of-segment carry (no backtraces stored)."""
+    N, P = path_cost.shape
+    umax = jnp.uint32(0xFFFFFFFF)
+    idx = jnp.arange(P)
+
+    def fwd(c, inputs):
+        prev, prev_mask, is_first = c
+        cost_n, mask_n, sw = inputs
+        masked_prev = jnp.where(prev_mask, prev, umax)
+        first_val = jnp.min(masked_prev)
+        first_id = jnp.argmin(masked_prev)
+        rest = jnp.where(idx == first_id, umax, masked_prev)
+        second_val = jnp.min(rest)
+        helper_val = jnp.where(idx == first_id, second_val, first_val)
+        prev_cell = _sat_add(helper_val, sw)
+        stay = prev
+        take_stay = prev_mask & (stay < prev_cell)
+        prev_cell = jnp.where(take_stay, stay, prev_cell)
+        prev_cell = jnp.where(is_first, jnp.uint32(0), prev_cell)
+        cur = _sat_add(prev_cell, cost_n)
+        cur = jnp.where(mask_n, cur, umax)
+        return (cur, mask_n, jnp.zeros((), bool)), None
+
+    carry, _ = jax.lax.scan(fwd, carry, (path_cost, mask, switch_cost))
+    return carry
+
+
+@jax.jit
+def _segment_backtrace(carry, path_cost, mask, switch_cost, state_in):
+    """Recompute one segment's backtraces from its entry carry and
+    chase the pointer path from state_in (the chosen state at the
+    column AFTER the segment, or the argmin of the final column when
+    state_in < 0)."""
+    N, P = path_cost.shape
+    umax = jnp.uint32(0xFFFFFFFF)
+    idx = jnp.arange(P)
+
+    def fwd(c, inputs):
+        prev, prev_mask, is_first = c
+        cost_n, mask_n, sw = inputs
+        masked_prev = jnp.where(prev_mask, prev, umax)
+        first_val = jnp.min(masked_prev)
+        first_id = jnp.argmin(masked_prev)
+        rest = jnp.where(idx == first_id, umax, masked_prev)
+        second_val = jnp.min(rest)
+        second_id = jnp.argmin(rest)
+        helper_val = jnp.where(idx == first_id, second_val, first_val)
+        helper_id = jnp.where(idx == first_id, second_id, first_id)
+        prev_cell = _sat_add(helper_val, sw)
+        backtrace = helper_id.astype(jnp.int32)
+        stay = prev
+        take_stay = prev_mask & (stay < prev_cell)
+        prev_cell = jnp.where(take_stay, stay, prev_cell)
+        backtrace = jnp.where(take_stay, idx.astype(jnp.int32), backtrace)
+        prev_cell = jnp.where(is_first, jnp.uint32(0), prev_cell)
+        backtrace = jnp.where(is_first, jnp.int32(0), backtrace)
+        cur = _sat_add(prev_cell, cost_n)
+        cur = jnp.where(mask_n, cur, umax)
+        return (cur, mask_n, jnp.zeros((), bool)), (cur, backtrace)
+
+    (last, _, _), (values, backtraces) = jax.lax.scan(
+        fwd, carry, (path_cost, mask, switch_cost)
+    )
+    # entry state: either handed in from the next segment's chase, or
+    # (for the final segment) the argmin of the last column
+    state = jnp.where(
+        state_in >= 0, state_in, jnp.argmin(last).astype(jnp.int32)
+    )
+
+    def chase(s, bt):
+        return bt[s], s
+
+    state_out, path = jax.lax.scan(chase, state, backtraces, reverse=True)
+    return state_out, path, jnp.min(last)
+
+
+def _viterbi_iteration_segmented(
+    path_cost: np.ndarray, mask: np.ndarray, switch: np.ndarray,
+    segment: int,
+):
+    """Checkpointed single-path Viterbi: O(segment * P) device memory
+    instead of O(N * P) — the device analogue of the reference's
+    sqrt(N) sparse table (src/haplotypesampler.cpp:116-126). Host
+    arrays stream segment by segment; forward runs once storing only
+    segment-boundary carries, backtraces are recomputed per segment
+    during the backward chase (2x forward compute, as in the
+    reference)."""
+    N, P = path_cost.shape
+    n_segs = (N + segment - 1) // segment
+
+    carries = []
+    carry = (
+        jnp.zeros(P, jnp.uint32), jnp.zeros(P, bool), jnp.ones((), bool)
+    )
+    for s in range(n_segs):
+        carries.append(carry)
+        sl = slice(s * segment, min(N, (s + 1) * segment))
+        carry = _segment_forward(
+            carry, jnp.asarray(path_cost[sl]), jnp.asarray(mask[sl]),
+            jnp.asarray(switch[sl]),
+        )
+
+    path = np.empty(N, dtype=np.int32)
+    state = jnp.int32(-1)
+    best_score = None
+    for s in range(n_segs - 1, -1, -1):
+        sl = slice(s * segment, min(N, (s + 1) * segment))
+        state, seg_path, seg_best = _segment_backtrace(
+            carries[s], jnp.asarray(path_cost[sl]), jnp.asarray(mask[sl]),
+            jnp.asarray(switch[sl]), state,
+        )
+        path[sl] = np.asarray(seg_path)
+        if best_score is None:
+            best_score = seg_best  # from the final segment's last column
+    return jnp.asarray(path), best_score
+
+
 class HaplotypeSampler:
     """Greedy panel reduction; constructor does everything
     (reference src/haplotypesampler.cpp:20-77).
@@ -204,13 +327,22 @@ class HaplotypeSampler:
         switch_j = jnp.asarray(switch)
         alleles_j = jnp.asarray(alleles)
 
+        # beyond this many columns, use the checkpointed scan: device
+        # memory O(segment * P) instead of O(N * P)
+        SEGMENT = 1 << 16
         used = np.zeros((N, P), dtype=bool)  # masked (already sampled)
         for _ in range(size):
-            mask = jnp.asarray(~used)
-            path_cost = jnp.take_along_axis(
-                jnp.asarray(costs), alleles_j, axis=1
-            )
-            path, score = _viterbi_iteration(path_cost, mask, switch_j)
+            if N > SEGMENT:
+                host_cost = np.take_along_axis(costs, alleles, axis=1)
+                path, score = _viterbi_iteration_segmented(
+                    host_cost, ~used, switch, SEGMENT
+                )
+            else:
+                mask = jnp.asarray(~used)
+                path_cost = jnp.take_along_axis(
+                    jnp.asarray(costs), alleles_j, axis=1
+                )
+                path, score = _viterbi_iteration(path_cost, mask, switch_j)
             path = np.asarray(path)
             if best_scores is not None:
                 best_scores.append(int(score))

@@ -132,3 +132,37 @@ def test_update_unique_kmers_reference_path():
         assert u2.kmer_on_path(i + 2, 0)
         assert u2.kmer_on_path(i + 2, 1)
         assert u2.kmer_on_path(i, 2)
+
+
+def test_segmented_viterbi_matches_single_scan():
+    """The checkpointed (segment-recompute) sampling scan must produce
+    identical paths and scores to the full-backtrace scan."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pangenie_tpu.hmm.sampling import (
+        _viterbi_iteration,
+        _viterbi_iteration_segmented,
+    )
+
+    rng = np.random.default_rng(13)
+    for trial in range(4):
+        N = int(rng.integers(50, 400))
+        P = int(rng.integers(3, 12))
+        cost = rng.integers(0, 26, size=(N, P)).astype(np.uint32)
+        mask = rng.random((N, P)) > 0.2
+        mask[:, 0] = True  # keep at least one path usable everywhere
+        switch = rng.integers(1, 30, size=N).astype(np.uint32)
+        switch[0] = 0
+
+        path_ref, score_ref = _viterbi_iteration(
+            jnp.asarray(cost), jnp.asarray(mask), jnp.asarray(switch)
+        )
+        for segment in (32, 64, 128):
+            path_seg, score_seg = _viterbi_iteration_segmented(
+                cost, mask, switch, segment
+            )
+            assert int(score_seg) == int(score_ref), (trial, segment)
+            assert np.array_equal(
+                np.asarray(path_seg), np.asarray(path_ref)
+            ), (trial, segment)
