@@ -153,3 +153,137 @@ def forward_backward(columns: ColumnArrays):
     )
     log_correction = columns.scale + next_scale
     return posteriors, log_correction
+
+
+# ---------------------------------------------------------------------------
+# Segmented (checkpoint + recompute) variant for long chromosomes:
+# device memory O(segment * P^2) instead of O(N * P^2). The forward
+# pass streams column segments, storing only segment-boundary alpha
+# carries and the per-column normalization sums; the backward pass
+# recomputes each segment's alphas from its checkpoint — the device
+# analogue of the reference's sqrt(N) sparse table
+# (src/hmm.cpp:81-89, 298-308), at 2x forward compute.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_step_impl(carry, col, dtype):
+    alpha_prev, is_first = carry
+    P = col.alleles.shape[0]
+    uniform_val = jnp.asarray(1.0, dtype) / (P * P)
+    E = jnp.exp(_emission(col))
+    prev = jnp.where(
+        is_first, jnp.ones((P, P), dtype), _mix_previous(alpha_prev, col.trans)
+    )
+    cur = prev * E
+    s = jnp.sum(cur)
+    alpha = jnp.where(s > 0, cur / s, jnp.full((P, P), uniform_val))
+    c_fwd = jnp.where(s > 0, s, jnp.asarray(1.0, dtype))
+    return (alpha, jnp.zeros((), bool)), (alpha, c_fwd)
+
+
+@jax.jit
+def _segment_forward(carry, cols: ColumnArrays):
+    """Carry the forward recurrence across one segment; emits only the
+    per-column normalization sums."""
+    dtype = cols.lp.dtype
+
+    def step(c, col):
+        new_c, (_alpha, c_fwd) = _fwd_step_impl(c, col, dtype)
+        return new_c, c_fwd
+
+    return jax.lax.scan(step, carry, cols)
+
+
+@jax.jit
+def _segment_forward_full(carry, cols: ColumnArrays):
+    """Forward recurrence over one segment, storing the alphas."""
+    dtype = cols.lp.dtype
+
+    def step(c, col):
+        new_c, out = _fwd_step_impl(c, col, dtype)
+        return new_c, out
+
+    return jax.lax.scan(step, carry, cols)
+
+
+@jax.jit
+def _segment_backward(beta, cols, next_cols, alphas, c_fwd):
+    """Backward recurrence + posterior collapse over one segment."""
+    dtype = cols.lp.dtype
+    P = cols.alleles.shape[1]
+    A = cols.incidence.shape[2]
+    uniform_val = jnp.asarray(1.0, dtype) / (P * P)
+
+    def step(b, inputs):
+        alpha_n, c_n, col_next, is_last = inputs
+        E_next = jnp.exp(_emission(col_next))
+        helper = b * E_next
+        cur = jnp.where(
+            is_last, jnp.ones((P, P), dtype), _mix_previous(helper, col_next.trans)
+        )
+        s = jnp.sum(cur)
+        new_b = jnp.where(s > 0, cur / s, jnp.full((P, P), uniform_val))
+        posterior = alpha_n * cur * c_n
+        return new_b, posterior
+
+    beta, posts = jax.lax.scan(
+        step, beta, (alphas, c_fwd, next_cols, cols.is_last), reverse=True
+    )
+    one_hot = jax.nn.one_hot(cols.allele_local, A, dtype=dtype)
+    return beta, jnp.einsum("npa,npq,nqb->nab", one_hot, posts, one_hot)
+
+
+def forward_backward_segmented(host_columns: ColumnArrays, segment: int):
+    """Segmented forward-backward over host-resident column arrays.
+
+    ``host_columns`` leaves are numpy arrays [N, ...] (N a multiple of
+    nothing in particular — the last segment may be short; shapes per
+    segment are padded implicitly by the bucketing upstream). Returns
+    (posteriors [N, A, A], log_correction [N]) as numpy arrays.
+    """
+    import numpy as np
+
+    N, P = host_columns.alleles.shape
+    dtype = jnp.asarray(host_columns.lp[:1]).dtype
+    n_segs = (N + segment - 1) // segment
+
+    def dev_slice(sl) -> ColumnArrays:
+        return ColumnArrays(*[jnp.asarray(x[sl]) for x in host_columns])
+
+    def dev_next_slice(lo, hi) -> ColumnArrays:
+        """Columns shifted by -1 (each row n holds column n+1); the
+        final row wraps like jnp.roll, matching the unsegmented path
+        (its value is ignored: is_last masks it)."""
+        idx = np.arange(lo + 1, hi + 1)
+        idx[-1] = idx[-1] % N
+        return ColumnArrays(*[jnp.asarray(x[idx]) for x in host_columns])
+
+    # pass 1: checkpoints + normalization sums
+    checkpoints = []
+    carry = (jnp.zeros((P, P), dtype), jnp.ones((), bool))
+    c_fwd_segs = []
+    for s in range(n_segs):
+        checkpoints.append(carry)
+        sl = slice(s * segment, min(N, (s + 1) * segment))
+        carry, c_fwd = _segment_forward(carry, dev_slice(sl))
+        c_fwd_segs.append(c_fwd)
+
+    # pass 2: per-segment alpha recompute + backward
+    posteriors = None
+    beta = jnp.zeros((P, P), dtype)
+    for s in range(n_segs - 1, -1, -1):
+        lo, hi = s * segment, min(N, (s + 1) * segment)
+        cols = dev_slice(slice(lo, hi))
+        _, (alphas, _c) = _segment_forward_full(checkpoints[s], cols)
+        beta, posts = _segment_backward(
+            beta, cols, dev_next_slice(lo, hi), alphas, c_fwd_segs[s]
+        )
+        posts = np.asarray(posts)
+        if posteriors is None:
+            A = posts.shape[1]
+            posteriors = np.empty((N, A, A), dtype=posts.dtype)
+        posteriors[lo:hi] = posts
+
+    scale = np.asarray(host_columns.scale)
+    next_scale = np.concatenate([scale[1:], np.zeros(1, scale.dtype)])
+    return posteriors, scale + next_scale

@@ -27,7 +27,11 @@ from ..kmers.unique import UniqueKmersRecord
 from ..model.probabilities import ProbabilityTable
 from ..panel.variant import GenotypeLikelihoods
 from .columns import HMMColumns, build_columns, transition_probs
-from .forward_backward import ColumnArrays, forward_backward
+from .forward_backward import (
+    ColumnArrays,
+    forward_backward,
+    forward_backward_segmented,
+)
 from .viterbi import viterbi
 
 
@@ -47,6 +51,7 @@ def _to_device_columns(
     uniform: bool,
     dtype,
     bucketed: bool = True,
+    as_host: bool = False,
 ) -> ColumnArrays:
     from .emissions import emission_scale
 
@@ -109,6 +114,28 @@ def _to_device_columns(
     if N > 0:
         is_last[N - 1] = True
 
+    if as_host:
+        # numpy leaves for the segmented (streaming) execution path
+        np_dtype = np.dtype(jnp.dtype(dtype).name)
+        with np.errstate(invalid="ignore"):
+            m = np.max(lp, axis=-1)
+        m = np.where(kmer_mask & np.isfinite(m), m, 0.0)
+        scale_np = np.sum(m, axis=-1).astype(np_dtype)
+        return ColumnArrays(
+            lp=lp.astype(np_dtype),
+            pr=pr.astype(np_dtype),
+            incidence=incidence,
+            kmer_mask=kmer_mask,
+            alleles=alleles,
+            undefined=undefined,
+            all_zeros=all_zeros,
+            scale=scale_np,
+            trans=trans.astype(np_dtype),
+            allele_local=allele_local,
+            nr_local=nr_local,
+            is_last=is_last,
+        )
+
     lp_j = jnp.asarray(lp, dtype)
     kmer_mask_j = jnp.asarray(kmer_mask)
     scale = emission_scale(lp_j, kmer_mask_j)
@@ -159,6 +186,7 @@ class PairHMM:
         self.genotyping_result: List[GenotypeLikelihoods] = [
             GenotypeLikelihoods() for _ in records
         ]
+        self._host_cols = None
         if not records:
             # a chromosome with no variant records is a no-op HMM
             self.columns = None
@@ -169,14 +197,38 @@ class PairHMM:
         columns = build_columns(records, probabilities, only_paths)
         self.columns = columns
         self.device_cols = None
-        if columns.n_columns > 0:
+        if columns.n_columns > self.SEGMENT:
+            # long chromosome: stream segments (O(segment * P^2) HBM)
+            self._host_cols = _to_device_columns(
+                columns, recombrate, effective_N, uniform, dtype,
+                as_host=True,
+            )
+        elif columns.n_columns > 0:
             self.device_cols = _to_device_columns(
                 columns, recombrate, effective_N, uniform, dtype
             )
         if not defer:
             self._execute()
 
+    SEGMENT = 1 << 17  # columns per streamed segment for long scans
+
     def _execute(self) -> None:
+        if self._host_cols is not None:
+            if self._run_genotyping:
+                posteriors, log_corr = forward_backward_segmented(
+                    self._host_cols, self.SEGMENT
+                )
+                self._finish_genotyping(posteriors, log_corr)
+            if self._run_phasing:
+                # phasing runs on <= 30 paths; stream the same host
+                # arrays through the stored-backtrace scan per segment
+                # is future work — materialize on device for now
+                device_cols = ColumnArrays(
+                    *[jnp.asarray(x) for x in self._host_cols]
+                )
+                states = np.asarray(viterbi(device_cols, uniform=self._uniform))
+                self._scatter_haplotypes(states)
+            return
         if self.device_cols is not None:
             if self._run_genotyping:
                 posteriors, log_corr = forward_backward(self.device_cols)
@@ -273,7 +325,9 @@ class PairHMM:
         groups = {}
         for hmm in hmms:
             if hmm.device_cols is None:
-                if hmm._run_genotyping:
+                if hmm._host_cols is not None:
+                    hmm._execute()  # segmented streaming path
+                elif hmm._run_genotyping:
                     hmm._store_kmer_stats()
                 continue
             key = tuple(x.shape for x in hmm.device_cols)

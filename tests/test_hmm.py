@@ -359,3 +359,63 @@ def test_hmm_phasing_haplotypes():
     h2 = (results[1].haplotype_1, results[1].haplotype_2)
     assert sorted(h1) == [0, 1]
     assert h2 == (0, 0)
+
+
+def test_segmented_forward_backward_matches():
+    """The streamed (checkpoint + recompute) forward-backward must give
+    the same posteriors as the in-HBM scan."""
+    import jax.numpy as jnp
+
+    from pangenie_tpu.hmm.columns import build_columns
+    from pangenie_tpu.hmm.forward_backward import (
+        forward_backward,
+        forward_backward_segmented,
+    )
+    from pangenie_tpu.hmm.genotyping import _to_device_columns
+
+    rng = np.random.default_rng(17)
+    records = []
+    pos = 1000
+    for _ in range(50):
+        pos += int(rng.integers(10, 3000))
+        rec = UniqueKmersRecord(pos, rng.integers(0, 3, 5).tolist())
+        rec.set_coverage(5)
+        for _ in range(int(rng.integers(0, 4))):
+            rec.insert_kmer(int(rng.choice([5, 10, 20])), [int(rng.integers(0, 3))])
+        records.append(rec)
+    probs = make_probs_cov5()
+    columns = build_columns(records, probs, None)
+    dev = _to_device_columns(columns, 2.0, 100.0, False, jnp.float64)
+    host = _to_device_columns(columns, 2.0, 100.0, False, jnp.float64,
+                              as_host=True)
+    posts_ref, corr_ref = (np.asarray(x) for x in forward_backward(dev))
+    for segment in (7, 16, 64):
+        posts_seg, corr_seg = forward_backward_segmented(host, segment)
+        np.testing.assert_allclose(posts_seg, posts_ref, rtol=1e-12)
+        np.testing.assert_allclose(corr_seg, corr_ref, rtol=1e-12)
+
+
+def test_pairhmm_segmented_threshold(monkeypatch):
+    """Forcing the streaming threshold low must not change results."""
+    from pangenie_tpu.hmm.genotyping import PairHMM
+
+    rng = np.random.default_rng(23)
+    records = []
+    pos = 1000
+    for _ in range(40):
+        pos += int(rng.integers(10, 3000))
+        rec = UniqueKmersRecord(pos, rng.integers(0, 2, 4).tolist())
+        rec.set_coverage(5)
+        for _ in range(2):
+            rec.insert_kmer(int(rng.choice([5, 10, 20])), [int(rng.integers(0, 2))])
+        records.append(rec)
+    probs = make_probs_cov5()
+    ref = PairHMM([r for r in records], probs, True, True, 2.0, False, 100.0)
+    monkeypatch.setattr(PairHMM, "SEGMENT", 8)
+    seg = PairHMM([r for r in records], probs, True, True, 2.0, False, 100.0)
+    for a, b in zip(ref.get_genotyping_result(), seg.get_genotyping_result()):
+        for key in set(a.likelihoods) | set(b.likelihoods):
+            assert float(a.get_genotype_likelihood(*key)) == pytest.approx(
+                float(b.get_genotype_likelihood(*key)), rel=1e-12
+            )
+        assert (a.haplotype_1, a.haplotype_2) == (b.haplotype_1, b.haplotype_2)
