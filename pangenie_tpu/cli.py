@@ -132,6 +132,12 @@ def main(argv=None) -> int:
         has_rv = bool(args.reffile) and bool(args.vcffile)
         if has_f == has_rv:
             parser.error("genotype requires either -f or both -r and -v")
+        # reference constraints (src/pangenie-genotype.cpp:71-74)
+        if args.panel_size and args.sampling_size:
+            parser.error("options -x and -a cannot be used together")
+        if has_f and args.kmersize != 31:
+            parser.error("option -k cannot be combined with -f (the index "
+                         "fixes the kmer size)")
         # flag wiring mirrors src/pangenie-genotype.cpp:98-109 (including
         # its quirk: -g -p leaves only_genotyping True unless -p alone)
         only_genotyping = True
