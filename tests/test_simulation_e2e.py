@@ -59,3 +59,36 @@ def test_simulated_genotyping_concordance(tmp_path, panel_size):
     assert result.concordance > 0.9, (
         result.concordance, result.by_class, result.no_call
     )
+
+
+def test_leave_one_out_genotyping(tmp_path):
+    """Genotype a sample NOT in the panel (the production use case:
+    re-genotyping new samples against a fixed haplotype panel)."""
+    from pangenie_tpu.commands import run_single_command
+
+    rng = np.random.default_rng(99)
+    reference = sim.random_reference(120_000, rng)
+    variants = sim.simulate_panel(reference, nr_samples=31, rng=rng)
+    panel_variants = [
+        sim.SimVariant(v.position, v.ref, v.alts, v.genotypes[1:])
+        for v in variants
+    ]
+    sim.write_inputs(str(tmp_path), reference, panel_variants)
+    hap1, hap2 = sim.haplotype_sequences(reference, variants, sample=0)
+    sim.simulate_reads(hap1, hap2, 30, 150, rng,
+                       outfile=str(tmp_path / "reads.fa"))
+    _write_truth_vcf(tmp_path / "truth.vcf", variants, sample=0)
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        run_single_command("reads.fa", "ref.fa", "panel.vcf", 31, "out")
+    finally:
+        os.chdir(cwd)
+
+    result = genotype_concordance(
+        str(tmp_path / "out_genotyping.vcf"), str(tmp_path / "truth.vcf")
+    )
+    # out-of-panel: limited by how well panel haplotypes tile the
+    # target; anything above ~90% indicates working imputation
+    assert result.concordance > 0.9, (result.concordance, result.by_class)
