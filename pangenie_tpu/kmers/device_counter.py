@@ -234,6 +234,98 @@ def sharded_count_kmers(mesh, codes: np.ndarray, k: int):
     return count(sharded)
 
 
+def sharded_count_kmers_partitioned(
+    mesh, codes: np.ndarray, k: int, slack: float = 2.0
+):
+    """Pod-scale counting: hash-partitioned ``all_to_all`` exchange.
+
+    Unlike :func:`sharded_count_kmers` (gather-replicated tables), each
+    device ends up OWNING a disjoint hash-partition of the key space —
+    table memory scales 1/D with device count, the layout required at
+    pod scale:
+
+      1. every device extracts canonical k-mers from its read shard,
+      2. k-mers route to owner = hash(kmer) mod D and are binned into a
+         fixed-capacity [D, M] send buffer (M = slack * expected),
+      3. one ``all_to_all`` exchanges the bins over ICI,
+      4. each device sort/segment-counts what it received.
+
+    Returns (keys_hi, keys_lo, counts, mask, overflow): per-device
+    partition tables concatenated along axis 0 ([D, M_recv, ...]
+    flattened), plus the summed bin-overflow count — non-zero overflow
+    means `slack` was too small and dropped k-mers (callers should
+    retry with a larger slack; the uniform hash makes overflow
+    vanishingly rare at realistic sizes).
+    """
+    import jax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from functools import partial
+
+    axis = mesh.axis_names[-1]
+    n_dev = int(mesh.devices.size)
+    B = codes.shape[0]
+    if B % n_dev:
+        pad = n_dev - B % n_dev
+        codes = np.concatenate(
+            [codes, np.full((pad,) + codes.shape[1:], 4, dtype=codes.dtype)]
+        )
+    flat_mesh = jax.sharding.Mesh(mesh.devices.reshape(-1), (axis,))
+    sharded = jax.device_put(
+        jnp.asarray(codes), NamedSharding(flat_mesh, P(axis))
+    )
+    W = codes.shape[1] - k + 1
+    per_dev = (codes.shape[0] // n_dev) * W
+    capacity = int(slack * per_dev / n_dev) + 8
+
+    @partial(
+        shard_map,
+        mesh=flat_mesh,
+        in_specs=(P(axis),),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        check_rep=False,
+    )
+    def count(local_codes):
+        hi, lo, valid = extract_canonical(local_codes, k)
+        hi, lo, valid = hi.ravel(), lo.ravel(), valid.ravel()
+        # owner = splitmix-style mix of the 64-bit key, mod D
+        key_mix = (hi ^ jnp.uint32(0x9E3779B9)) * jnp.uint32(0x85EBCA6B) ^ (
+            lo * jnp.uint32(0xC2B2AE35)
+        )
+        owner = (key_mix % jnp.uint32(n_dev)).astype(jnp.int32)
+        owner = jnp.where(valid, owner, -1)
+
+        # bin into [D, capacity] send buffers
+        send_hi = jnp.full((n_dev, capacity), 0xFFFFFFFF, jnp.uint32)
+        send_lo = jnp.full((n_dev, capacity), 0xFFFFFFFF, jnp.uint32)
+        # slot index of each kmer within its destination bin
+        onehot = jax.nn.one_hot(owner, n_dev, dtype=jnp.int32)  # [n, D]
+        slot = jnp.cumsum(onehot, axis=0) - onehot  # occupancy before row
+        slot_of = jnp.sum(slot * onehot, axis=1)  # [n]
+        fits = valid & (slot_of < capacity)
+        overflow = jnp.sum((valid & ~fits).astype(jnp.int32))
+        # non-fitting entries route out of bounds and are dropped
+        dest = jnp.where(fits, owner, n_dev)
+        slot_oob = jnp.where(fits, slot_of, capacity)
+        send_hi = send_hi.at[dest, slot_oob].set(hi, mode="drop")
+        send_lo = send_lo.at[dest, slot_oob].set(lo, mode="drop")
+
+        # exchange: axis d of the send buffer scatters to device d
+        recv_hi = jax.lax.all_to_all(send_hi, axis, 0, 0, tiled=False)
+        recv_lo = jax.lax.all_to_all(send_lo, axis, 0, 0, tiled=False)
+        rhi = recv_hi.ravel()
+        rlo = recv_lo.ravel()
+        rvalid = ~((rhi == 0xFFFFFFFF) & (rlo == 0xFFFFFFFF))
+        khi, klo, cnt, mask = count_kmers(rhi, rlo, rvalid)
+        return (
+            khi[None], klo[None], cnt[None], mask[None],
+            jax.lax.psum(overflow, axis)[None],
+        )
+
+    khi, klo, cnt, mask, overflow = count(sharded)
+    return khi, klo, cnt, mask, int(np.asarray(overflow)[0])
+
+
 class DeviceKmerCounter:
     """Batch-streaming device counter with host-compatible output."""
 

@@ -86,3 +86,37 @@ def test_sharded_count_matches_host():
     order = np.argsort(keys)
     assert np.array_equal(keys[order], host.keys)
     assert np.array_equal(counts[keep][order].astype(np.int64), host.counts)
+
+
+def test_partitioned_count_matches_host():
+    """Hash-partitioned all_to_all counting: the union of per-device
+    partition tables equals the host counter exactly, partitions are
+    disjoint, and no bin overflowed."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from pangenie_tpu.parallel.mesh import make_mesh
+    from pangenie_tpu.kmers.device_counter import (
+        sharded_count_kmers_partitioned,
+    )
+
+    rng = np.random.default_rng(6)
+    reads = _random_reads(rng, 48, 64, with_ns=True)
+    host = ExactKmerCounter.count_sequences(reads, 21)
+
+    mesh = make_mesh(8)
+    codes, _ = pack_read_batch(reads)
+    khi, klo, cnt, mask, overflow = sharded_count_kmers_partitioned(
+        mesh, codes, 21, slack=4.0
+    )
+    assert overflow == 0
+    khi, klo, cnt, mask = (np.asarray(x) for x in (khi, klo, cnt, mask))
+    keep = mask.astype(bool)
+    keys = (khi[keep].astype(np.uint64) << np.uint64(32)) | klo[keep].astype(
+        np.uint64
+    )
+    assert len(np.unique(keys)) == len(keys)  # partitions disjoint
+    order = np.argsort(keys)
+    assert np.array_equal(keys[order], host.keys)
+    assert np.array_equal(cnt[keep][order].astype(np.int64), host.counts)
