@@ -32,7 +32,7 @@ from .forward_backward import (
     forward_backward,
     forward_backward_segmented,
 )
-from .viterbi import viterbi
+from .viterbi import viterbi, viterbi_segmented
 
 
 def _bucket(n: int, minimum: int = 16) -> int:
@@ -220,13 +220,9 @@ class PairHMM:
                 )
                 self._finish_genotyping(posteriors, log_corr)
             if self._run_phasing:
-                # phasing runs on <= 30 paths; stream the same host
-                # arrays through the stored-backtrace scan per segment
-                # is future work — materialize on device for now
-                device_cols = ColumnArrays(
-                    *[jnp.asarray(x) for x in self._host_cols]
+                states = viterbi_segmented(
+                    self._host_cols, self.SEGMENT, uniform=self._uniform
                 )
-                states = np.asarray(viterbi(device_cols, uniform=self._uniform))
                 self._scatter_haplotypes(states)
             return
         if self.device_cols is not None:

@@ -35,6 +35,40 @@ def _switch_counts(P: int) -> jnp.ndarray:
     return sw
 
 
+def _viterbi_step(carry, col, uniform: bool, with_backtrace: bool):
+    lv_prev, is_first = carry
+    P = col.alleles.shape[0]
+    S = P * P
+    dtype = col.lp.dtype
+    sw = _switch_counts(P)
+    logE = _emission(col).reshape(S)
+    if uniform:
+        lt = jnp.zeros(3, dtype)
+    else:
+        lt = jnp.log(col.trans)
+    T = lt[sw]  # [S, S]
+    scores = lv_prev[:, None] + T  # scores[j, i]
+    # last-max tie-breaking: argmax over reversed j
+    best_val = jnp.max(scores, axis=0)
+    prev_cell = jnp.where(is_first, jnp.zeros(S, dtype), best_val)
+    cur = prev_cell + logE
+    # per-column normalization (reference divides by the sum; any
+    # positive rescale preserves the argmax chain — subtract logsumexp
+    # for bounded magnitudes, uniform fallback if everything is -inf)
+    lse = jax.scipy.special.logsumexp(cur)
+    cur = jnp.where(
+        jnp.isfinite(lse), cur - lse, jnp.full(S, -jnp.log(float(S)), dtype)
+    )
+    if not with_backtrace:
+        return (cur, jnp.zeros((), bool)), None
+    rev_arg = jnp.argmax(scores[::-1, :], axis=0)
+    best_idx = (S - 1) - rev_arg
+    backtrace = jnp.where(
+        is_first, jnp.zeros(S, jnp.int32), best_idx.astype(jnp.int32)
+    )
+    return (cur, jnp.zeros((), bool)), backtrace
+
+
 @partial(jax.jit, static_argnames=("uniform",))
 def viterbi(columns: ColumnArrays, uniform: bool = False):
     """Max-plus scan; returns (best path-pair state per column) [N].
@@ -44,34 +78,9 @@ def viterbi(columns: ColumnArrays, uniform: bool = False):
     N, P = columns.alleles.shape
     S = P * P
     dtype = columns.lp.dtype
-    sw = _switch_counts(P)
-    neg_inf = jnp.asarray(-jnp.inf, dtype)
 
-    def step(carry, inputs):
-        lv_prev, is_first = carry
-        col = inputs
-        logE = _emission(col).reshape(S)
-        if uniform:
-            lt = jnp.zeros(3, dtype)
-        else:
-            lt = jnp.log(col.trans)
-        T = lt[sw]  # [S, S]
-        scores = lv_prev[:, None] + T  # scores[j, i]
-        # last-max tie-breaking: argmax over reversed j
-        best_val = jnp.max(scores, axis=0)
-        rev_arg = jnp.argmax(scores[::-1, :], axis=0)
-        best_idx = (S - 1) - rev_arg
-        prev_cell = jnp.where(is_first, jnp.zeros(S, dtype), best_val)
-        cur = prev_cell + logE
-        # per-column normalization (reference divides by the sum; any
-        # positive rescale preserves the argmax chain — subtract logsumexp
-        # for bounded magnitudes, uniform fallback if everything is -inf)
-        lse = jax.scipy.special.logsumexp(cur)
-        cur = jnp.where(
-            jnp.isfinite(lse), cur - lse, jnp.full(S, -jnp.log(float(S)), dtype)
-        )
-        backtrace = jnp.where(is_first, jnp.zeros(S, jnp.int32), best_idx.astype(jnp.int32))
-        return (cur, jnp.zeros((), bool)), backtrace
+    def step(carry, col):
+        return _viterbi_step(carry, col, uniform, True)
 
     init = (jnp.zeros(S, dtype), jnp.ones((), bool))
     (last, _), backtraces = jax.lax.scan(step, init, columns)
@@ -91,3 +100,70 @@ def viterbi(columns: ColumnArrays, uniform: bool = False):
     # states_rev[n] = state at column n (chase emits current state, then
     # moves to its predecessor for column n-1)
     return states_rev
+
+
+@partial(jax.jit, static_argnames=("uniform",))
+def _viterbi_segment_forward(carry, cols: ColumnArrays, uniform: bool):
+    """Carry the max-plus recurrence over one segment, no backtraces."""
+
+    def step(c, col):
+        return _viterbi_step(c, col, uniform, False)
+
+    carry, _ = jax.lax.scan(step, carry, cols)
+    return carry
+
+
+@partial(jax.jit, static_argnames=("uniform",))
+def _viterbi_segment_backtrace(carry, cols: ColumnArrays, state_in,
+                               uniform: bool):
+    """Recompute one segment's backtraces from its entry carry and
+    chase from state_in (or, when state_in < 0, the last-max argmax of
+    the final column — the reference's `>=` ascending rule)."""
+
+    def step(c, col):
+        return _viterbi_step(c, col, uniform, True)
+
+    (last, _), backtraces = jax.lax.scan(step, carry, cols)
+    S = last.shape[0]
+    rev = jnp.argmax(last[::-1])
+    last_max = ((S - 1) - rev).astype(jnp.int32)
+    state = jnp.where(state_in >= 0, state_in, last_max)
+
+    def chase(s, bt):
+        return bt[s], s
+
+    state_out, states = jax.lax.scan(chase, state, backtraces, reverse=True)
+    return state_out, states
+
+
+def viterbi_segmented(host_columns: ColumnArrays, segment: int,
+                      uniform: bool = False):
+    """Checkpointed Viterbi over host-resident columns: O(segment * S)
+    device memory for the backtrace table (the reference's sqrt(N)
+    recompute, src/hmm.cpp:119-129, on column segments)."""
+    import numpy as np
+
+    N, P = host_columns.alleles.shape
+    S = P * P
+    dtype = jnp.asarray(host_columns.lp[:1]).dtype
+    n_segs = (N + segment - 1) // segment
+
+    def dev_slice(sl) -> ColumnArrays:
+        return ColumnArrays(*[jnp.asarray(x[sl]) for x in host_columns])
+
+    checkpoints = []
+    carry = (jnp.zeros(S, dtype), jnp.ones((), bool))
+    for s in range(n_segs):
+        checkpoints.append(carry)
+        sl = slice(s * segment, min(N, (s + 1) * segment))
+        carry = _viterbi_segment_forward(carry, dev_slice(sl), uniform)
+
+    states = np.empty(N, dtype=np.int32)
+    state = jnp.int32(-1)
+    for s in range(n_segs - 1, -1, -1):
+        sl = slice(s * segment, min(N, (s + 1) * segment))
+        state, seg_states = _viterbi_segment_backtrace(
+            checkpoints[s], dev_slice(sl), state, uniform
+        )
+        states[sl] = np.asarray(seg_states)
+    return states

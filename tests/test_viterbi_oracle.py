@@ -138,3 +138,37 @@ def test_viterbi_random_vs_oracle():
             assert (g.haplotype_1, g.haplotype_2) == (h1, h2), (
                 trial, idx, (g.haplotype_1, g.haplotype_2), (h1, h2)
             )
+
+
+def test_viterbi_segmented_matches_full():
+    """The checkpointed Viterbi must reproduce the stored-backtrace
+    scan exactly (incl. tie-breaking across segment boundaries)."""
+    import jax.numpy as jnp
+
+    from pangenie_tpu.hmm.columns import build_columns
+    from pangenie_tpu.hmm.genotyping import _to_device_columns
+    from pangenie_tpu.hmm.viterbi import viterbi, viterbi_segmented
+
+    rng = np.random.default_rng(31)
+    probs = ProbabilityTable(5, 10, 40, 0.0)
+    for count, cn in [(10, (0.1, 0.9, 0.1)), (20, (0.01, 0.01, 0.9)),
+                      (5, (0.9, 0.3, 0.1))]:
+        probs.modify_probability(5, count, cn)
+    records = []
+    pos = 1000
+    for _ in range(60):
+        pos += int(rng.integers(10, 3000))
+        rec = UniqueKmersRecord(pos, rng.integers(0, 2, 4).tolist())
+        rec.set_coverage(5)
+        for _ in range(int(rng.integers(0, 3))):
+            rec.insert_kmer(int(rng.choice([5, 10, 20])),
+                            [int(rng.integers(0, 2))])
+        records.append(rec)
+    columns = build_columns(records, probs, None)
+    dev = _to_device_columns(columns, 2.0, 100.0, False, jnp.float64)
+    host = _to_device_columns(columns, 2.0, 100.0, False, jnp.float64,
+                              as_host=True)
+    ref = np.asarray(viterbi(dev, uniform=False))
+    for segment in (9, 16, 64):
+        seg = viterbi_segmented(host, segment, uniform=False)
+        assert np.array_equal(seg, ref), segment
