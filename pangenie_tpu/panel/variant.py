@@ -413,14 +413,15 @@ class VariantBubble:
     # -- separation ------------------------------------------------------
 
     def _paths_per_subvariant(self) -> List[List[int]]:
+        import numpy as np
+
         nr_variants = len(self.allele_sequences)
-        paths_per_variant: List[List[int]] = [[] for _ in range(nr_variants)]
-        for p in range(len(self.paths)):
-            combo = self.allele_combinations[self.paths[p]]
-            assert len(combo) == nr_variants
-            for v in range(nr_variants):
-                paths_per_variant[v].append(combo[v])
-        return paths_per_variant
+        # combos is rectangular: every merged allele maps to exactly one
+        # allele per sub-variant
+        combos = np.asarray(self.allele_combinations, dtype=np.int64)
+        assert combos.shape[1] == nr_variants
+        sel = combos[np.asarray(self.paths, dtype=np.int64)]  # [P, V]
+        return [sel[:, v].tolist() for v in range(nr_variants)]
 
     def _reference_allele_parts(self) -> List[bytes]:
         """[left_flank, ref0, inner0, ref1, ..., right_flank]."""
