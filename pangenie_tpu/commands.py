@@ -154,15 +154,28 @@ def run_index_command(
     summary.phase("writing Graph objects to disk")
 
     _log("Determine unique kmers ...")
-    for chromosome in chromosomes:
+
+    def _index_chromosome(chromosome):
         t = time.monotonic()
         graph = builder.graphs[chromosome]
         computer = StepwiseUniqueKmerComputer(genomic_kmer_counts, graph)
         records = computer.compute_unique_kmers(
             f"{outname}_{chromosome}_kmers.tsv.gz", delete_processed_variants=True
         )
-        unique_kmers_list.unique_kmers[chromosome] = records
-        unique_kmers_list.runtimes[chromosome] = time.monotonic() - t
+        return chromosome, records, time.monotonic() - t
+
+    # per-chromosome work is independent; the native k-mer lookups and
+    # numpy enumeration release the GIL, so threads use host cores (the
+    # reference's ThreadPool over chromosomes, src/commands.cpp:677-687)
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = max(1, min(nr_jellyfish_threads, len(chromosomes)))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        for chromosome, records, elapsed in pool.map(
+            _index_chromosome, chromosomes
+        ):
+            unique_kmers_list.unique_kmers[chromosome] = records
+            unique_kmers_list.runtimes[chromosome] = elapsed
 
     summary.phase("determining unique kmers")
 
@@ -471,16 +484,31 @@ def run_genotype_command(
     )
 
     _log("Determine read k-mer counts for unique kmers ...")
-    for chromosome in chromosomes:
-        output_paths = ""
-        if output_panel:
-            output_paths = f"{outname}_paths_{chromosome}.tsv"
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fill(chromosome):
         fill_read_kmercounts(
             chromosome, unique_kmers_list, read_kmer_counts, probabilities,
-            precomputed_prefix, kmer_abundance_peak, panel_size, recombrate,
+            precomputed_prefix, kmer_abundance_peak, 0, recombrate,
             sampling_effective_N, unique_kmers_list.add_reference,
-            output_paths, allele_penalty,
+            "", allele_penalty,
         )
+
+    workers = max(1, min(nr_core_threads, len(chromosomes)))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        list(pool.map(_fill, chromosomes))
+    # haplotype sampling (JAX scans) runs sequentially per chromosome
+    if panel_size > 0 or output_panel:
+        for chromosome in chromosomes:
+            output_paths = ""
+            if output_panel:
+                output_paths = f"{outname}_paths_{chromosome}.tsv"
+            HaplotypeSampler(
+                unique_kmers_list.unique_kmers[chromosome], panel_size,
+                recombrate, sampling_effective_N, None,
+                unique_kmers_list.add_reference, output_paths, chromosome,
+                allele_penalty,
+            )
 
     summary.phase("updating unique kmers / sampling")
 
