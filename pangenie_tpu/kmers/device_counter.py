@@ -193,7 +193,7 @@ def sharded_count_kmers(mesh, codes: np.ndarray, k: int):
     Returns replicated (keys_hi, keys_lo, counts, mask) device arrays.
     """
     import jax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
     from functools import partial
 
@@ -215,7 +215,7 @@ def sharded_count_kmers(mesh, codes: np.ndarray, k: int):
         mesh=flat_mesh,
         in_specs=(P(axis),),
         out_specs=(P(), P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def count(local_codes):
         hi, lo, valid = extract_canonical(local_codes, k)
@@ -258,7 +258,7 @@ def sharded_count_kmers_partitioned(
     vanishingly rare at realistic sizes).
     """
     import jax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
     from functools import partial
 
@@ -283,7 +283,7 @@ def sharded_count_kmers_partitioned(
         mesh=flat_mesh,
         in_specs=(P(axis),),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def count(local_codes):
         hi, lo, valid = extract_canonical(local_codes, k)

@@ -23,7 +23,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..hmm.forward_backward import ColumnArrays, forward_backward
@@ -55,7 +55,7 @@ def sharded_forward_backward(mesh: Mesh, columns: ColumnArrays):
         mesh=mesh,
         in_specs=(in_spec,),
         out_specs=(P("batch"), P("batch")),
-        check_rep=False,
+        check_vma=False,
     )
     def step(cols: ColumnArrays):
         # local block [S_loc, B_loc, ...]: flatten, vmap, unflatten
