@@ -27,7 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .emissions import log_emission_column
+from .emissions import log_emission_allele_matrix, log_emission_column
 
 
 class ColumnArrays(NamedTuple):
@@ -59,6 +59,34 @@ def _emission(col: ColumnArrays):
         col.all_zeros,
         col.scale,
     )
+
+
+def _allele_emissions(columns: ColumnArrays) -> jax.Array:
+    """Precompute every column's LINEAR [A, A] emission matrix at once.
+
+    The reference rebuilds an EmissionProbabilityComputer inside the
+    column loop (src/hmm.cpp:209, :311); the emission has no sequential
+    dependency, so hoisting it out of the scan turns O(N * K * A^2)
+    transcendental work (done twice more in the backward pass for
+    E_{n+1}) into ONE embarrassingly parallel pass, leaving the scan
+    step a [P, P] gather + the rank-1 mix. exp/gather commute
+    elementwise, so results are bitwise identical to the in-step form.
+    """
+    logEA = jax.vmap(log_emission_allele_matrix)(
+        columns.lp,
+        columns.pr,
+        columns.incidence,
+        columns.kmer_mask,
+        columns.undefined,
+        columns.all_zeros,
+        columns.scale,
+    )
+    return jnp.exp(logEA)  # [N, A, A]
+
+
+def _gather_state_emission(ea: jax.Array, allele_local: jax.Array):
+    """[A, A] linear emission -> [P, P] state emission via path gather."""
+    return ea[allele_local[:, None], allele_local[None, :]]
 
 
 def _mix_previous(alpha, t):
@@ -100,13 +128,16 @@ def forward_backward(columns: ColumnArrays):
     dtype = columns.lp.dtype
     uniform_val = jnp.asarray(1.0, dtype) / (P * P)
 
+    # emissions hoisted out of the sequential scans: one parallel pass
+    EA = _allele_emissions(columns)  # [N, A, A] linear, rescaled
+
     # ---- forward pass ----
     def fwd_step(carry, inputs):
         alpha_prev, is_first = carry
-        col = inputs
-        E = jnp.exp(_emission(col))
+        ea, allele_local, trans = inputs
+        E = _gather_state_emission(ea, allele_local)
         prev = jnp.where(
-            is_first, jnp.ones((P, P), dtype), _mix_previous(alpha_prev, col.trans)
+            is_first, jnp.ones((P, P), dtype), _mix_previous(alpha_prev, trans)
         )
         cur = prev * E
         s = jnp.sum(cur)
@@ -115,22 +146,26 @@ def forward_backward(columns: ColumnArrays):
         return (alpha, jnp.zeros((), bool)), (alpha, c_fwd)
 
     init = (jnp.zeros((P, P), dtype), jnp.ones((), bool))
-    _, (alphas, c_fwd) = jax.lax.scan(fwd_step, init, columns)
+    _, (alphas, c_fwd) = jax.lax.scan(
+        fwd_step, init, (EA, columns.allele_local, columns.trans)
+    )
 
     # ---- backward pass (reverse scan) ----
-    # at column n we need E_{n+1} and t(n -> n+1) = trans[n+1]; build
-    # shifted inputs so each reverse step sees its successor's column
-    next_cols = jax.tree.map(lambda x: jnp.roll(x, -1, axis=0), columns)
+    # at column n we need E_{n+1} and t(n -> n+1) = trans[n+1]; shift
+    # the precomputed emissions so each reverse step sees its successor
+    EA_next = jnp.roll(EA, -1, axis=0)
+    al_next = jnp.roll(columns.allele_local, -1, axis=0)
+    tr_next = jnp.roll(columns.trans, -1, axis=0)
 
     def bwd_step(carry, inputs):
         beta_next = carry
-        alpha_n, c_n, col_next, is_last = inputs
-        E_next = jnp.exp(_emission(col_next))
+        alpha_n, c_n, ea_next, allele_next, trans_next, is_last = inputs
+        E_next = _gather_state_emission(ea_next, allele_next)
         helper = beta_next * E_next
         cur = jnp.where(
             is_last,
             jnp.ones((P, P), dtype),
-            _mix_previous(helper, col_next.trans),
+            _mix_previous(helper, trans_next),
         )
         s = jnp.sum(cur)
         beta = jnp.where(s > 0, cur / s, jnp.full((P, P), uniform_val))
@@ -140,7 +175,7 @@ def forward_backward(columns: ColumnArrays):
     _, posts = jax.lax.scan(
         bwd_step,
         jnp.zeros((P, P), dtype),
-        (alphas, c_fwd, next_cols, columns.is_last),
+        (alphas, c_fwd, EA_next, al_next, tr_next, columns.is_last),
         reverse=True,
     )
 
@@ -166,13 +201,13 @@ def forward_backward(columns: ColumnArrays):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_step_impl(carry, col, dtype):
+def _fwd_step_impl(carry, inputs, P, dtype):
     alpha_prev, is_first = carry
-    P = col.alleles.shape[0]
+    ea, allele_local, trans = inputs
     uniform_val = jnp.asarray(1.0, dtype) / (P * P)
-    E = jnp.exp(_emission(col))
+    E = _gather_state_emission(ea, allele_local)
     prev = jnp.where(
-        is_first, jnp.ones((P, P), dtype), _mix_previous(alpha_prev, col.trans)
+        is_first, jnp.ones((P, P), dtype), _mix_previous(alpha_prev, trans)
     )
     cur = prev * E
     s = jnp.sum(cur)
@@ -186,24 +221,28 @@ def _segment_forward(carry, cols: ColumnArrays):
     """Carry the forward recurrence across one segment; emits only the
     per-column normalization sums."""
     dtype = cols.lp.dtype
+    P = cols.alleles.shape[1]
+    EA = _allele_emissions(cols)
 
-    def step(c, col):
-        new_c, (_alpha, c_fwd) = _fwd_step_impl(c, col, dtype)
+    def step(c, inputs):
+        new_c, (_alpha, c_fwd) = _fwd_step_impl(c, inputs, P, dtype)
         return new_c, c_fwd
 
-    return jax.lax.scan(step, carry, cols)
+    return jax.lax.scan(step, carry, (EA, cols.allele_local, cols.trans))
 
 
 @jax.jit
 def _segment_forward_full(carry, cols: ColumnArrays):
     """Forward recurrence over one segment, storing the alphas."""
     dtype = cols.lp.dtype
+    P = cols.alleles.shape[1]
+    EA = _allele_emissions(cols)
 
-    def step(c, col):
-        new_c, out = _fwd_step_impl(c, col, dtype)
+    def step(c, inputs):
+        new_c, out = _fwd_step_impl(c, inputs, P, dtype)
         return new_c, out
 
-    return jax.lax.scan(step, carry, cols)
+    return jax.lax.scan(step, carry, (EA, cols.allele_local, cols.trans))
 
 
 @jax.jit
@@ -213,13 +252,14 @@ def _segment_backward(beta, cols, next_cols, alphas, c_fwd):
     P = cols.alleles.shape[1]
     A = cols.incidence.shape[2]
     uniform_val = jnp.asarray(1.0, dtype) / (P * P)
+    EA_next = _allele_emissions(next_cols)
 
     def step(b, inputs):
-        alpha_n, c_n, col_next, is_last = inputs
-        E_next = jnp.exp(_emission(col_next))
+        alpha_n, c_n, ea_next, allele_next, trans_next, is_last = inputs
+        E_next = _gather_state_emission(ea_next, allele_next)
         helper = b * E_next
         cur = jnp.where(
-            is_last, jnp.ones((P, P), dtype), _mix_previous(helper, col_next.trans)
+            is_last, jnp.ones((P, P), dtype), _mix_previous(helper, trans_next)
         )
         s = jnp.sum(cur)
         new_b = jnp.where(s > 0, cur / s, jnp.full((P, P), uniform_val))
@@ -227,7 +267,11 @@ def _segment_backward(beta, cols, next_cols, alphas, c_fwd):
         return new_b, posterior
 
     beta, posts = jax.lax.scan(
-        step, beta, (alphas, c_fwd, next_cols, cols.is_last), reverse=True
+        step,
+        beta,
+        (alphas, c_fwd, EA_next, next_cols.allele_local, next_cols.trans,
+         cols.is_last),
+        reverse=True,
     )
     one_hot = jax.nn.one_hot(cols.allele_local, A, dtype=dtype)
     return beta, jnp.einsum("npa,npq,nqb->nab", one_hot, posts, one_hot)

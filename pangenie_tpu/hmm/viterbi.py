@@ -21,7 +21,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .forward_backward import ColumnArrays, _emission
+from .forward_backward import ColumnArrays
+from .emissions import log_emission_allele_matrix
 
 
 def _switch_counts(P: int) -> jnp.ndarray:
@@ -35,17 +36,32 @@ def _switch_counts(P: int) -> jnp.ndarray:
     return sw
 
 
-def _viterbi_step(carry, col, uniform: bool, with_backtrace: bool):
+def _log_allele_emissions(columns: ColumnArrays) -> jnp.ndarray:
+    """All columns' log [A, A] emission matrices in one parallel pass
+    (the emission has no sequential dependency; hoisting it out of the
+    max-plus scan mirrors forward_backward._allele_emissions)."""
+    return jax.vmap(log_emission_allele_matrix)(
+        columns.lp,
+        columns.pr,
+        columns.incidence,
+        columns.kmer_mask,
+        columns.undefined,
+        columns.all_zeros,
+        columns.scale,
+    )
+
+
+def _viterbi_step(carry, inputs, P, dtype, uniform: bool,
+                  with_backtrace: bool):
     lv_prev, is_first = carry
-    P = col.alleles.shape[0]
+    logEA, allele_local, trans = inputs
     S = P * P
-    dtype = col.lp.dtype
     sw = _switch_counts(P)
-    logE = _emission(col).reshape(S)
+    logE = logEA[allele_local[:, None], allele_local[None, :]].reshape(S)
     if uniform:
         lt = jnp.zeros(3, dtype)
     else:
-        lt = jnp.log(col.trans)
+        lt = jnp.log(trans)
     T = lt[sw]  # [S, S]
     scores = lv_prev[:, None] + T  # scores[j, i]
     # last-max tie-breaking: argmax over reversed j
@@ -78,12 +94,15 @@ def viterbi(columns: ColumnArrays, uniform: bool = False):
     N, P = columns.alleles.shape
     S = P * P
     dtype = columns.lp.dtype
+    logEA = _log_allele_emissions(columns)
 
-    def step(carry, col):
-        return _viterbi_step(carry, col, uniform, True)
+    def step(carry, inputs):
+        return _viterbi_step(carry, inputs, P, dtype, uniform, True)
 
     init = (jnp.zeros(S, dtype), jnp.ones((), bool))
-    (last, _), backtraces = jax.lax.scan(step, init, columns)
+    (last, _), backtraces = jax.lax.scan(
+        step, init, (logEA, columns.allele_local, columns.trans)
+    )
 
     # best final state: reference takes `>=` over ascending i => last max
     # (src/hmm.cpp:132-141), on sum-normalized probabilities. Our values
@@ -105,11 +124,16 @@ def viterbi(columns: ColumnArrays, uniform: bool = False):
 @partial(jax.jit, static_argnames=("uniform",))
 def _viterbi_segment_forward(carry, cols: ColumnArrays, uniform: bool):
     """Carry the max-plus recurrence over one segment, no backtraces."""
+    P = cols.alleles.shape[1]
+    dtype = cols.lp.dtype
+    logEA = _log_allele_emissions(cols)
 
-    def step(c, col):
-        return _viterbi_step(c, col, uniform, False)
+    def step(c, inputs):
+        return _viterbi_step(c, inputs, P, dtype, uniform, False)
 
-    carry, _ = jax.lax.scan(step, carry, cols)
+    carry, _ = jax.lax.scan(
+        step, carry, (logEA, cols.allele_local, cols.trans)
+    )
     return carry
 
 
@@ -119,11 +143,16 @@ def _viterbi_segment_backtrace(carry, cols: ColumnArrays, state_in,
     """Recompute one segment's backtraces from its entry carry and
     chase from state_in (or, when state_in < 0, the last-max argmax of
     the final column — the reference's `>=` ascending rule)."""
+    P = cols.alleles.shape[1]
+    dtype = cols.lp.dtype
+    logEA = _log_allele_emissions(cols)
 
-    def step(c, col):
-        return _viterbi_step(c, col, uniform, True)
+    def step(c, inputs):
+        return _viterbi_step(c, inputs, P, dtype, uniform, True)
 
-    (last, _), backtraces = jax.lax.scan(step, carry, cols)
+    (last, _), backtraces = jax.lax.scan(
+        step, carry, (logEA, cols.allele_local, cols.trans)
+    )
     S = last.shape[0]
     rev = jnp.argmax(last[::-1])
     last_max = ((S - 1) - rev).astype(jnp.int32)
