@@ -326,6 +326,134 @@ def sharded_count_kmers_partitioned(
     return khi, klo, cnt, mask, int(np.asarray(overflow)[0])
 
 
+@jax.jit
+def lookup_pair_sorted(keys_hi, keys_lo, qhi, qlo):
+    """Vectorized lower-bound of (qhi, qlo) queries in the sorted
+    (keys_hi, keys_lo) table; returns (index, found) arrays.
+
+    Branchless binary search: ceil(log2(N)) gather steps over the whole
+    query batch — the device replacement for Jellyfish's random hash
+    probes (src/jellyfishcounter.cpp:87-104) against a FIXED key set.
+    """
+    n = keys_hi.shape[0]
+    if n == 0:
+        return (
+            jnp.zeros(qhi.shape, jnp.int32),
+            jnp.zeros(qhi.shape, bool),
+        )
+    steps = max(1, (n - 1).bit_length())
+    lo_b = jnp.zeros(qhi.shape, jnp.int32)
+    hi_b = jnp.full(qhi.shape, n, jnp.int32)
+
+    def body(_, carry):
+        lo_b, hi_b = carry
+        mid = (lo_b + hi_b) // 2
+        mhi = keys_hi[mid]
+        mlo = keys_lo[mid]
+        # key[mid] < q  (lexicographic on uint32 pairs == uint64 order)
+        less = (mhi < qhi) | ((mhi == qhi) & (mlo < qlo))
+        return jnp.where(less, mid + 1, lo_b), jnp.where(less, hi_b, mid)
+
+    lo_b, _ = jax.lax.fori_loop(0, steps, body, (lo_b, hi_b))
+    idx = jnp.minimum(lo_b, n - 1)
+    found = (keys_hi[idx] == qhi) & (keys_lo[idx] == qlo)
+    return idx, found
+
+
+DIR_BITS = 16
+
+
+@partial(jax.jit, static_argnames=("steps",))
+def lookup_pair_directed(keys_hi, keys_lo, directory, qhi, qlo,
+                         steps: int):
+    """Directory-accelerated lower bound: the sorted table is bucketed
+    by the top DIR_BITS bits of `hi`; `directory` [2^DIR_BITS + 1]
+    holds each bucket's start offset, so the binary search runs only
+    `steps` = ceil(log2(max bucket width)) gather rounds instead of
+    log2(N) — the dominant cost of the probe is these random HBM
+    gathers."""
+    n = keys_hi.shape[0]
+    bucket = (qhi >> jnp.uint32(32 - DIR_BITS)).astype(jnp.int32)
+    lo_b = directory[bucket]
+    hi_b = directory[bucket + 1]
+
+    def body(_, carry):
+        lo_b, hi_b = carry
+        mid = (lo_b + hi_b) // 2
+        mhi = keys_hi[mid]
+        mlo = keys_lo[mid]
+        less = (mhi < qhi) | ((mhi == qhi) & (mlo < qlo))
+        return jnp.where(less, mid + 1, lo_b), jnp.where(less, hi_b, mid)
+
+    lo_b, _ = jax.lax.fori_loop(0, steps, body, (lo_b, hi_b))
+    idx = jnp.minimum(lo_b, n - 1)
+    found = (keys_hi[idx] == qhi) & (keys_lo[idx] == qlo)
+    return idx, found
+
+
+@partial(jax.jit, static_argnames=("k", "steps"), donate_argnums=(4,))
+def primed_update_batch(keys_hi, keys_lo, directory, codes, counts,
+                        k: int, steps: int):
+    """PRIME+UPDATE streaming step (src/jellyfishcounter.cpp:51-85):
+    count one read batch's canonical k-mers INTO a fixed sorted table;
+    k-mers absent from the table are dropped. `counts` is donated, so
+    streaming updates are in-place in HBM."""
+    hi, lo, valid = extract_canonical(codes, k)
+    idx, found = lookup_pair_directed(
+        keys_hi, keys_lo, directory, hi.ravel(), lo.ravel(), steps
+    )
+    hits = (valid.ravel() & found).astype(counts.dtype)
+    idx = jnp.where(valid.ravel() & found, idx, keys_hi.shape[0])
+    return counts.at[idx].add(hits, mode="drop")
+
+
+class PrimedDeviceCounter:
+    """Device PRIME+UPDATE counter: graph k-mers registered once as a
+    sorted (hi, lo) table, read batches streamed through binary-search
+    lookups + scatter-add. Fixed shapes per batch size => one XLA
+    compile; table memory stays O(graph kmers) regardless of read
+    volume — the device analogue of the reference's memory-saving
+    default mode."""
+
+    def __init__(self, k: int, keys: np.ndarray):
+        if not (1 <= k <= 31):
+            raise ValueError("PrimedDeviceCounter supports k in [1, 31].")
+        self.k = k
+        keys = np.sort(np.asarray(keys, dtype=np.uint64))
+        hi = (keys >> np.uint64(32)).astype(np.uint32)
+        self._hi = jnp.asarray(hi)
+        self._lo = jnp.asarray((keys & np.uint64(MASK32)).astype(np.uint32))
+        self._counts = jnp.zeros(max(len(keys), 1), jnp.int32)
+        self._keys = keys
+        # bucket directory over the top DIR_BITS of hi
+        buckets = (hi >> np.uint32(32 - DIR_BITS)).astype(np.int64)
+        directory = np.searchsorted(
+            buckets, np.arange((1 << DIR_BITS) + 1)
+        ).astype(np.int32)
+        self._dir = jnp.asarray(directory)
+        width = int(np.max(np.diff(directory))) if len(keys) else 1
+        self._steps = max(1, int(np.ceil(np.log2(max(width, 2)))) + 1)
+
+    def update_batch(self, codes: np.ndarray) -> None:
+        if not len(self._keys):
+            return
+        self._counts = primed_update_batch(
+            self._hi, self._lo, self._dir, jnp.asarray(codes),
+            self._counts, self.k, self._steps
+        )
+
+    def to_host_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
+        counts = np.asarray(self._counts).astype(np.int64)
+        return self._keys, counts[: len(self._keys)]
+
+    def to_exact_counter(self):
+        from .counter import ExactKmerCounter
+
+        keys, counts = self.to_host_arrays()
+        keep = counts > 0
+        return ExactKmerCounter(self.k, keys[keep], counts[keep])
+
+
 class DeviceKmerCounter:
     """Batch-streaming device counter with host-compatible output."""
 

@@ -120,3 +120,50 @@ def test_partitioned_count_matches_host():
     order = np.argsort(keys)
     assert np.array_equal(keys[order], host.keys)
     assert np.array_equal(cnt[keep][order].astype(np.int64), host.counts)
+
+
+def test_primed_device_counter_matches_host():
+    """Device PRIME+UPDATE: only registered (graph) k-mers are counted,
+    exactly matching the host primed counter."""
+    from pangenie_tpu.kmers.device_counter import PrimedDeviceCounter
+
+    rng = np.random.default_rng(11)
+    graph_seqs = _random_reads(rng, 30, 90)
+    reads = _random_reads(rng, 150, 70, with_ns=True)
+    # reads share content with the graph: splice graph fragments in
+    reads = [
+        graph_seqs[i % len(graph_seqs)][:40] + r[40:]
+        for i, r in enumerate(reads)
+    ]
+    k = 21
+    host = ExactKmerCounter.count_sequences_primed(reads, graph_seqs, k)
+
+    graph_keys = ExactKmerCounter.count_sequences(graph_seqs, k).keys
+    dev = PrimedDeviceCounter(k, graph_keys)
+    for i in range(0, len(reads), 64):
+        codes, _ = pack_read_batch(reads[i : i + 64], length=70)
+        dev.update_batch(codes)
+
+    counter = dev.to_exact_counter()
+    for key in graph_keys:
+        assert counter.get_abundances(np.array([key]))[0] == \
+            host.get_abundances(np.array([key]))[0]
+    # nothing outside the graph key set is tracked
+    assert set(counter.keys).issubset(set(graph_keys))
+
+
+def test_lookup_pair_sorted_bounds():
+    from pangenie_tpu.kmers.device_counter import lookup_pair_sorted
+    import jax.numpy as jnp
+
+    keys = np.array([3, 9, 12, 700, 2**40 + 5], dtype=np.uint64)
+    hi = jnp.asarray((keys >> np.uint64(32)).astype(np.uint32))
+    lo = jnp.asarray((keys & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    q = np.array([0, 3, 10, 12, 2**40 + 5, 2**63], dtype=np.uint64)
+    qhi = jnp.asarray((q >> np.uint64(32)).astype(np.uint32))
+    qlo = jnp.asarray((q & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    idx, found = lookup_pair_sorted(hi, lo, qhi, qlo)
+    assert list(np.asarray(found)) == [False, True, False, True, True, False]
+    assert np.asarray(idx)[1] == 0
+    assert np.asarray(idx)[3] == 2
+    assert np.asarray(idx)[4] == 4
