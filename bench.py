@@ -2,8 +2,16 @@
 
 Runs the batched forward-backward pair-HMM scan (float32 production
 path) on a synthetic workload shaped like a real genotyping run
-(P=32 paths after panel reduction, K=16 kmers/column) and prints ONE
-JSON line.
+(P=32 paths after panel reduction, K=16 kmers/column, B=128 concurrent
+(chromosome-block x path-subset) work items — a whole-genome run keeps
+hundreds in flight) and prints ONE JSON line.
+
+Timing honesty: on the tunneled TPU backend, ``block_until_ready`` can
+return before the device has executed anything, and repeated identical
+dispatches may be deduplicated. Every timed run therefore (a) uses a
+DISTINCT input buffer and (b) is synced by a device-side reduction of
+its outputs whose scalar is copied to the host — the copy cannot
+complete before the run has.
 
 vs_baseline: the reference genotypes 36M variants in 55 min on 24 CPU
 cores (BASELINE.md) ≈ 10,909 variant-columns/sec end-to-end — the only
@@ -42,37 +50,39 @@ def _ensure_backend() -> None:
 def main() -> None:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from pangenie_tpu.hmm.forward_backward import forward_backward
+    from pangenie_tpu.hmm.batch import forward_backward_batch
     from pangenie_tpu.utils.synthetic import synthetic_columns
 
     _ensure_backend()
-    B, N, P, K = 8, 4096, 32, 16
-    columns = synthetic_columns(
-        n_columns=N, n_paths=P, n_kmers=K, batch_dims=(B,),
-        dtype=jnp.float32,
-    )
-    device_cols = type(columns)(*[jnp.asarray(x) for x in columns])
+    B, N, P, K = 128, 4096, 32, 16
 
-    fb = jax.jit(jax.vmap(forward_backward))
+    def make(seed):
+        cols = synthetic_columns(
+            n_columns=N, n_paths=P, n_kmers=K, batch_dims=(B,),
+            dtype=jnp.float32, seed=seed,
+        )
+        return type(cols)(*[jnp.asarray(x) for x in cols])
 
-    # compile + warm up
-    jax.block_until_ready(fb(device_cols))
+    fb = jax.jit(forward_backward_batch)
 
-    # the tunneled TPU backend shows large run-to-run dispatch jitter;
-    # take the best of several multi-run repetitions (standard
-    # min-timing) so the number reflects the device, not the tunnel
-    runs, reps = 5, 6
+    def device_sum(result):
+        return sum(jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(result))
 
-    def timed() -> float:
+    # distinct inputs per timed run: no dispatch deduplication possible
+    reps = 4
+    inputs = [make(seed) for seed in range(reps + 1)]
+    float(np.asarray(device_sum(fb(inputs[-1]))))  # compile + warm up
+
+    times = []
+    for seed in range(reps):
         start = time.perf_counter()
-        out = None
-        for _ in range(runs):
-            out = fb(device_cols)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - start) / runs
-
-    elapsed = min(timed() for _ in range(reps))
+        result = fb(inputs[seed])
+        # device-side reduce + scalar host copy = true completion sync
+        float(np.asarray(device_sum(result)))
+        times.append(time.perf_counter() - start)
+    elapsed = min(times)
 
     columns_per_sec = B * N / elapsed
     print(

@@ -110,7 +110,9 @@ def bench_device_all(reads: np.ndarray) -> None:
             jnp.concatenate(his), jnp.concatenate(los),
             jnp.concatenate(valids),
         )
-        jax.block_until_ready(table)
+        # device-side reduce + scalar host copy: block_until_ready can
+        # return before execution on the tunneled backend
+        float(np.asarray(jnp.sum(table[2])))
         return table
 
     run()  # compile
@@ -131,6 +133,7 @@ def bench_device_all(reads: np.ndarray) -> None:
 
 def bench_device_primed(genome: np.ndarray, reads: np.ndarray) -> None:
     import jax
+    import jax.numpy as jnp
 
     from pangenie_tpu.kmers.counter import ExactKmerCounter
     from pangenie_tpu.kmers.device_counter import PrimedDeviceCounter
@@ -150,7 +153,8 @@ def bench_device_primed(genome: np.ndarray, reads: np.ndarray) -> None:
         counter = PrimedDeviceCounter(K, keys)
         for b in range(n_batches):
             counter.update_batch(padded[b * BATCH:(b + 1) * BATCH])
-        jax.block_until_ready(counter._counts)
+        # true completion sync (see bench_device_all)
+        float(np.asarray(jnp.sum(counter._counts)))
         return counter
 
     run()  # compile
