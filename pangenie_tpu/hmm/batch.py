@@ -9,9 +9,38 @@ place with the portable XLA scan as fallback.
 
 from __future__ import annotations
 
+import os
+
 import jax
+import jax.numpy as jnp
 
 from .forward_backward import ColumnArrays, forward_backward
+
+# the fused kernel stores the forward pass in HBM: [N, P, P, B] f32
+_PALLAS_HBM_CAP = 4 * 1024 ** 3
+# and stages [S=8, P, P, 128] blocks (double-buffered) in VMEM
+_PALLAS_MAX_PATHS = 96
+_PALLAS_MAX_ALLELES = 8  # A^2 unrolled FMA terms per column
+
+
+def use_pallas(columns: ColumnArrays) -> bool:
+    """True when the fused TPU kernel handles this batch."""
+    if os.environ.get("PANGENIE_TPU_NO_PALLAS"):
+        return False
+    if columns.lp.dtype != jnp.float32:
+        return False
+    B, N, P = columns.alleles.shape
+    A = columns.incidence.shape[3]
+    if N == 0 or P > _PALLAS_MAX_PATHS or A > _PALLAS_MAX_ALLELES:
+        return False
+    lb = (max(B, 1) + 127) // 128 * 128
+    if N * P * P * lb * 4 > _PALLAS_HBM_CAP:
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        return False
+    return platform == "tpu"
 
 
 def forward_backward_batch(columns: ColumnArrays):
@@ -24,4 +53,8 @@ def forward_backward_batch(columns: ColumnArrays):
       (posteriors [B, N, A, A], log_correction [B, N]) — see
       :func:`forward_backward`.
     """
+    if use_pallas(columns):
+        from .pallas_fb import forward_backward_batch_pallas
+
+        return forward_backward_batch_pallas(columns)
     return jax.vmap(forward_backward)(columns)

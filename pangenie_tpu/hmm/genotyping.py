@@ -27,6 +27,7 @@ from ..kmers.unique import UniqueKmersRecord
 from ..model.probabilities import ProbabilityTable
 from ..panel.variant import GenotypeLikelihoods
 from .columns import HMMColumns, build_columns, transition_probs
+from .batch import forward_backward_batch
 from .forward_backward import (
     ColumnArrays,
     forward_backward,
@@ -338,7 +339,7 @@ class PairHMM:
                 lambda *xs: jnp.stack(xs), *[h.device_cols for h in members]
             )
             if run_g:
-                posteriors, log_corr = jax.vmap(forward_backward)(stacked)
+                posteriors, log_corr = forward_backward_batch(stacked)
                 posteriors = np.asarray(posteriors)
                 log_corr = np.asarray(log_corr)
                 for i, hmm in enumerate(members):

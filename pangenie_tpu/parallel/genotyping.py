@@ -26,12 +26,14 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..hmm.forward_backward import ColumnArrays, forward_backward
+from ..hmm.batch import forward_backward_batch
+from ..hmm.forward_backward import ColumnArrays
 
 
 def _fb_batch(columns: ColumnArrays):
-    """vmap forward_backward over one leading batch dim."""
-    return jax.vmap(forward_backward)(columns)
+    """Batched forward_backward over one leading batch dim (fused
+    Pallas TPU kernel when eligible, vmapped XLA scan otherwise)."""
+    return forward_backward_batch(columns)
 
 
 def sharded_forward_backward(mesh: Mesh, columns: ColumnArrays):

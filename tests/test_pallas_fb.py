@@ -1,0 +1,103 @@
+"""Fused Pallas forward-backward kernel vs the XLA scan oracle.
+
+Runs the TPU kernel in Pallas interpret mode on CPU (tests force the
+CPU backend) and checks it against jax.vmap(forward_backward) on the
+same float32 inputs. Shapes deliberately exercise the padding paths:
+B not a multiple of 128 (lane padding) and N not a multiple of the
+column segment (tail padding after is_last).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pangenie_tpu.hmm.forward_backward import forward_backward
+from pangenie_tpu.hmm.pallas_fb import forward_backward_batch_pallas
+from pangenie_tpu.utils.synthetic import synthetic_columns
+
+
+def _f32_device(cols):
+    leaves = []
+    for x in cols:
+        x = np.asarray(x)
+        if x.dtype == np.float64:
+            x = x.astype(np.float32)
+        leaves.append(jnp.asarray(x))
+    return type(cols)(*leaves)
+
+
+def _compare(cols, rtol=2e-4, atol=1e-7):
+    d = _f32_device(cols)
+    ref_p, ref_c = jax.jit(jax.vmap(forward_backward))(d)
+    pal_p, pal_c = forward_backward_batch_pallas(d, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(pal_p), np.asarray(ref_p), rtol=rtol, atol=atol
+    )
+    np.testing.assert_allclose(np.asarray(pal_c), np.asarray(ref_c))
+
+
+@pytest.mark.parametrize("B,N,P,K", [(3, 24, 8, 8), (2, 17, 16, 4)])
+def test_pallas_matches_xla_scan(B, N, P, K):
+    cols = synthetic_columns(
+        n_columns=N, n_paths=P, n_kmers=K, batch_dims=(B,),
+        dtype=np.float32,
+    )
+    _compare(cols)
+
+
+def test_pallas_multiallelic_and_padding():
+    cols = synthetic_columns(
+        n_columns=10, n_paths=8, n_kmers=6, n_alleles=3, batch_dims=(2,),
+        dtype=np.float32,
+    )
+    _compare(cols)
+
+
+def test_pallas_padded_tail_columns():
+    """Columns after is_last are padding; real outputs must not change."""
+    cols = synthetic_columns(
+        n_columns=12, n_paths=8, n_kmers=4, batch_dims=(2,),
+        dtype=np.float32,
+    )
+    # mark column 7 as the last real column; zero the padding inputs
+    is_last = np.zeros_like(np.asarray(cols.is_last))
+    is_last[..., 7] = True
+    arrays = cols._replace(is_last=is_last)
+    d = _f32_device(arrays)
+    ref_p, _ = jax.jit(jax.vmap(forward_backward))(d)
+    pal_p, _ = forward_backward_batch_pallas(d, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(pal_p)[:, :8], np.asarray(ref_p)[:, :8],
+        rtol=2e-4, atol=1e-7,
+    )
+
+
+def test_pallas_all_zero_column_uniform_fallback():
+    cols = synthetic_columns(
+        n_columns=6, n_paths=4, n_kmers=4, batch_dims=(1,),
+        dtype=np.float32,
+    )
+    lp = np.asarray(cols.lp).copy()
+    pr = np.asarray(cols.pr).copy()
+    pr[:, 2] = 0.0            # column 2: all kmer probabilities zero
+    lp[:, 2] = -np.inf
+    az = np.asarray(cols.all_zeros).copy()
+    az[:, 2] = True
+    arrays = cols._replace(lp=lp, pr=pr, all_zeros=az)
+    _compare(arrays)
+
+
+def test_batch_dispatch_cpu_falls_back_to_scan():
+    from pangenie_tpu.hmm.batch import forward_backward_batch, use_pallas
+
+    cols = synthetic_columns(
+        n_columns=8, n_paths=4, n_kmers=4, batch_dims=(2,),
+        dtype=np.float32,
+    )
+    d = _f32_device(cols)
+    assert not use_pallas(d)  # CPU backend in tests
+    posts, corr = forward_backward_batch(d)
+    ref_p, ref_c = jax.jit(jax.vmap(forward_backward))(d)
+    np.testing.assert_allclose(np.asarray(posts), np.asarray(ref_p))
+    np.testing.assert_allclose(np.asarray(corr), np.asarray(ref_c))
