@@ -83,7 +83,7 @@ def bench_device_all(reads: np.ndarray) -> None:
     import jax.numpy as jnp
 
     from pangenie_tpu.kmers.device_counter import (
-        count_kmers, extract_canonical,
+        count_kmers, extract_canonical, pack_codes_2bit, unpack_codes_2bit,
     )
 
     mbp = reads.size / 1e6
@@ -94,14 +94,19 @@ def bench_device_all(reads: np.ndarray) -> None:
     ) if pad_rows else reads
 
     @jax.jit
-    def extract(codes):
-        return extract_canonical(codes, K)
+    def extract(words, vwords):
+        return extract_canonical(
+            unpack_codes_2bit(words, vwords, READ_LEN), K
+        )
 
     def run():
         his, los, valids = [], [], []
         for b in range(n_batches):
+            words, vwords = pack_codes_2bit(
+                padded[b * BATCH:(b + 1) * BATCH]
+            )
             hi, lo, valid = extract(
-                jnp.asarray(padded[b * BATCH:(b + 1) * BATCH])
+                jnp.asarray(words), jnp.asarray(vwords)
             )
             his.append(hi.ravel())
             los.append(lo.ravel())
@@ -136,7 +141,9 @@ def bench_device_primed(genome: np.ndarray, reads: np.ndarray) -> None:
     import jax.numpy as jnp
 
     from pangenie_tpu.kmers.counter import ExactKmerCounter
-    from pangenie_tpu.kmers.device_counter import PrimedDeviceCounter
+    from pangenie_tpu.kmers.device_counter import (
+        PrimedDeviceCounter, pack_codes_2bit,
+    )
 
     keys = ExactKmerCounter._extract_canonical(
         [_to_bytes(genome[None, :])[0]], K
@@ -152,7 +159,10 @@ def bench_device_primed(genome: np.ndarray, reads: np.ndarray) -> None:
     def run():
         counter = PrimedDeviceCounter(K, keys)
         for b in range(n_batches):
-            counter.update_batch(padded[b * BATCH:(b + 1) * BATCH])
+            words, vwords = pack_codes_2bit(
+                padded[b * BATCH:(b + 1) * BATCH]
+            )
+            counter.update_packed_batch(words, vwords, READ_LEN)
         # true completion sync (see bench_device_all)
         float(np.asarray(jnp.sum(counter._counts)))
         return counter

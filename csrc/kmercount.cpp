@@ -294,4 +294,44 @@ void pg_stream_update_counts(
     }
 }
 
+// Pack [n_rows, L] base codes (0-3 valid, anything else invalid) into
+// 2-bit words (16 codes / uint32) plus a 1-bit validity mask
+// (32 codes / uint32) — the compact host->device transfer format.
+// words must hold n_rows * ceil(L/16), vwords n_rows * ceil(L/32).
+void pg_pack_2bit(const uint8_t* codes, int64_t n_rows, int64_t L,
+                  uint32_t* words, uint32_t* vwords, int n_threads) {
+    const int64_t W16 = (L + 15) / 16;
+    const int64_t W32 = (L + 31) / 32;
+    if (n_threads < 1) n_threads = 1;
+    auto worker = [&](int64_t row_lo, int64_t row_hi) {
+        for (int64_t r = row_lo; r < row_hi; ++r) {
+            const uint8_t* row = codes + r * L;
+            uint32_t* w = words + r * W16;
+            uint32_t* v = vwords + r * W32;
+            memset(w, 0, W16 * sizeof(uint32_t));
+            memset(v, 0, W32 * sizeof(uint32_t));
+            for (int64_t i = 0; i < L; ++i) {
+                const uint8_t c = row[i];
+                if (c <= 3) {
+                    w[i >> 4] |= uint32_t(c) << (2 * (i & 15));
+                    v[i >> 5] |= 1u << (i & 31);
+                }
+            }
+        }
+    };
+    if (n_threads == 1 || n_rows < 1024) {
+        worker(0, n_rows);
+        return;
+    }
+    std::vector<std::thread> threads;
+    const int64_t chunk = (n_rows + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        const int64_t lo = t * chunk;
+        const int64_t hi = std::min(n_rows, lo + chunk);
+        if (lo >= hi) break;
+        threads.emplace_back(worker, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+}
+
 }  // extern "C"

@@ -74,6 +74,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         lib.pg_hash_create.argtypes = [u64p, ctypes.c_int64]
         lib.pg_hash_destroy.restype = None
         lib.pg_hash_destroy.argtypes = [ctypes.c_void_p]
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.pg_pack_2bit.restype = None
+        lib.pg_pack_2bit.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, u32p, u32p, ctypes.c_int,
+        ]
         lib.pg_hash_stream_update.restype = None
         lib.pg_hash_stream_update.argtypes = [
             ctypes.c_void_p, u8p, i64p, ctypes.c_int64, ctypes.c_int,
@@ -229,3 +234,26 @@ def update_counts_sorted(
         len(queries),
     )
     return True
+
+
+def pack_2bit(codes: np.ndarray,
+              n_threads: int = 0) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Threaded 2-bit + validity-bit packing of a [B, L] code batch
+    (csrc pg_pack_2bit); None when the native engine is unavailable."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    B, L = codes.shape
+    words = np.empty((B, (L + 15) // 16), np.uint32)
+    vwords = np.empty((B, (L + 31) // 32), np.uint32)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    lib.pg_pack_2bit(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        B, L,
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        vwords.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        n_threads,
+    )
+    return words, vwords

@@ -167,3 +167,54 @@ def test_lookup_pair_sorted_bounds():
     assert np.asarray(idx)[1] == 0
     assert np.asarray(idx)[3] == 2
     assert np.asarray(idx)[4] == 4
+
+
+def test_pack_unpack_2bit_roundtrip():
+    from pangenie_tpu.kmers.device_counter import (
+        pack_codes_2bit, unpack_codes_2bit,
+    )
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 5, size=(7, 53)).astype(np.uint8)  # incl. N=4
+    words, vwords = pack_codes_2bit(codes)
+    back = np.asarray(unpack_codes_2bit(words, vwords, codes.shape[1]))
+    np.testing.assert_array_equal(back, codes)
+
+
+def test_primed_merge_matches_host_counts():
+    from pangenie_tpu.kmers.counter import ExactKmerCounter
+    from pangenie_tpu.kmers.device_counter import (
+        PrimedDeviceCounter, pack_codes_2bit,
+    )
+
+    rng = np.random.default_rng(11)
+    k = 21
+    genome = rng.integers(0, 4, size=4000).astype(np.uint8)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    graph_keys = np.unique(
+        ExactKmerCounter._extract_canonical([lut[genome].tobytes()], k)
+    )
+    starts = rng.integers(0, len(genome) - 60, size=300)
+    reads = genome[starts[:, None] + np.arange(60)[None, :]]
+    # sprinkle invalid bases
+    reads = reads.copy()
+    reads[rng.integers(0, 300, 40), rng.integers(0, 60, 40)] = 4
+
+    # host oracle: count read kmers restricted to graph keys
+    read_kmers = ExactKmerCounter._extract_canonical(
+        [bytes(lut[c] if c <= 3 else b"N"[0] for c in r) for r in reads], k
+    )
+    uniq, cnt = np.unique(read_kmers, return_counts=True)
+    expected = np.zeros(len(graph_keys), np.int64)
+    pos = np.searchsorted(graph_keys, uniq)
+    ok = (pos < len(graph_keys))
+    ok &= graph_keys[np.minimum(pos, len(graph_keys) - 1)] == uniq
+    expected[pos[ok]] = cnt[ok]
+
+    dev = PrimedDeviceCounter(k, graph_keys)
+    dev.update_batch(reads[:128])
+    words, vwords = pack_codes_2bit(reads[128:])
+    dev.update_packed_batch(words, vwords, reads.shape[1])
+    keys, counts = dev.to_host_arrays()
+    np.testing.assert_array_equal(keys, graph_keys)
+    np.testing.assert_array_equal(counts, expected)

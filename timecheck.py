@@ -1,25 +1,42 @@
 import time, jax, jax.numpy as jnp, numpy as np
-import pangenie_tpu.hmm.pallas_fb as pfb
-from pangenie_tpu.utils.synthetic import synthetic_columns
+from pangenie_tpu.kmers.device_counter import (
+    pack_codes_2bit, unpack_codes_2bit, extract_canonical, count_kmers,
+    PrimedDeviceCounter, primed_update_merge)
 
-def sync(r):
-    return float(np.asarray(sum(jnp.sum(jnp.where(jnp.isfinite(l), l, 0)) for l in jax.tree_util.tree_leaves(r))))
+rng = np.random.default_rng(0)
+genome = rng.integers(0, 4, size=2_000_000).astype(np.uint8)
+starts = rng.integers(0, len(genome)-128, size=65536)
+reads = genome[starts[:, None] + np.arange(128)[None, :]]
 
-B, N, P, K = 128, 4096, 32, 16
-cols = synthetic_columns(n_columns=N, n_paths=P, n_kmers=K, batch_dims=(B,), dtype=jnp.float32)
-d1 = type(cols)(*[jnp.asarray(x) for x in cols])
-cols2 = synthetic_columns(n_columns=N, n_paths=P, n_kmers=K, batch_dims=(B,), dtype=jnp.float32, seed=1)
-d2 = type(cols)(*[jnp.asarray(x) for x in cols2])
+def t(f, reps=3):
+    f()
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter(); f(); ts.append(time.perf_counter()-t0)
+    return min(ts)*1e3
 
-for S in (8, 16):
-    pfb._pick_segment = lambda P, S=S: S
-    f = jax.jit(pfb.forward_backward_batch_pallas.__wrapped__)
-    try:
-        sync(f(d1)); sync(f(d2))
-        ts = []
-        for d in (d1, d2, d1, d2):
-            t0 = time.perf_counter(); sync(f(d)); ts.append(time.perf_counter()-t0)
-        t = min(ts)
-        print(f"S={S}: {t*1e3:.1f}ms  {B*N/t:,.0f} cols/s")
-    except Exception as e:
-        print(f"S={S}: FAIL {str(e)[:120]}")
+print(f"host pack:        {t(lambda: pack_codes_2bit(reads)):8.1f}ms")
+words, vwords = pack_codes_2bit(reads)
+def xfer_packed():
+    w = jnp.asarray(words + np.uint32(0)); v = jnp.asarray(vwords + np.uint32(0))
+    float(np.asarray(jnp.sum(w[0]) + jnp.sum(v[0])))
+print(f"xfer packed:      {t(xfer_packed):8.1f}ms")
+def xfer_raw():
+    c = jnp.asarray(reads + np.uint8(0)); float(np.asarray(jnp.sum(c[0].astype(jnp.int32))))
+print(f"xfer raw:         {t(xfer_raw):8.1f}ms")
+
+dw, dv = jnp.asarray(words), jnp.asarray(vwords)
+ec = jax.jit(lambda w, v: count_kmers(*extract_canonical(unpack_codes_2bit(w, v, 128), 31)))
+def dev_all():
+    r = ec(dw, dv); float(np.asarray(jnp.sum(r[2])))
+print(f"dev unpack+count: {t(dev_all):8.1f}ms")
+
+lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+from pangenie_tpu.kmers.counter import ExactKmerCounter
+keys = np.unique(ExactKmerCounter._extract_canonical([lut[genome].tobytes()], 31))
+ctr = PrimedDeviceCounter(31, keys)
+codes_dev = unpack_codes_2bit(dw, dv, 128)
+def dev_primed():
+    c = primed_update_merge(ctr._hi, ctr._lo, jnp.zeros(len(keys), jnp.int32), codes_dev, 31)
+    float(np.asarray(jnp.sum(c)))
+print(f"dev primed merge: {t(dev_primed):8.1f}ms  (graph keys {len(keys)})")
