@@ -161,6 +161,7 @@ def main(argv=None) -> int:
             sampling_effective_N=args.sampling_effective_N,
             allele_penalty=args.allele_penalty,
             serialize_output=args.serialize_output,
+            hash_size=args.hash_size,
         )
         if has_f:
             return commands.run_genotype_command(

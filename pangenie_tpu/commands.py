@@ -76,15 +76,41 @@ def _warm_backend() -> None:
         _log(f"Warning: JAX backend warm-up failed ({e}).")
 
 
+def _default_platform() -> str:
+    try:
+        import jax
+
+        return jax.devices()[0].platform
+    except Exception:
+        return "cpu"
+
+
 def _hmm_dtype():
-    """HMM device dtype: float64 (reference parity, default) or float32
-    (the fast TPU path — f64 is software-emulated on TPU) via
-    PANGENIE_TPU_DTYPE=float32."""
+    """HMM device dtype. Production default: float32 on TPU — f64 is
+    software-emulated there and disqualifies the fused Pallas kernel;
+    the f32 path is validated to 7e-6 max relative error on GLs.
+    Elsewhere the default stays float64 (bit-parity verification against
+    the reference's long-double math). PANGENIE_TPU_DTYPE=float32|float64
+    overrides either way."""
     import jax.numpy as jnp
 
-    if os.environ.get("PANGENIE_TPU_DTYPE", "").lower() in ("float32", "f32"):
+    env = os.environ.get("PANGENIE_TPU_DTYPE", "").lower()
+    if env in ("float32", "f32"):
         return jnp.float32
-    return jnp.float64
+    if env in ("float64", "f64"):
+        return jnp.float64
+    return jnp.float32 if _default_platform() == "tpu" else jnp.float64
+
+
+def _use_device_counter() -> bool:
+    """Route read k-mer counting through the TPU engine when a TPU is
+    the default backend; PANGENIE_TPU_COUNTER=host|device overrides."""
+    env = os.environ.get("PANGENIE_TPU_COUNTER", "").lower()
+    if env in ("host", "cpu"):
+        return False
+    if env in ("device", "tpu"):
+        return True
+    return _default_platform() == "tpu"
 
 
 def _log(msg: str) -> None:
@@ -102,7 +128,12 @@ def _load(filename: str):
 
 
 def _read_counter(
-    readfile: str, segment_file: str, kmersize: int, count_only_graph: bool
+    readfile: str,
+    segment_file: str,
+    kmersize: int,
+    count_only_graph: bool,
+    nr_threads: int = 1,
+    hash_size: int = 3_000_000_000,
 ) -> KmerCounter:
     if readfile.endswith(".jf"):
         from .kmers.jf_reader import read_jf
@@ -111,7 +142,20 @@ def _read_counter(
         return read_jf(readfile, kmersize)
     _log("Count kmers in reads ...")
     if count_only_graph:
-        return ExactKmerCounter.count_file_primed(readfile, [segment_file], kmersize)
+        if _use_device_counter():
+            from .kmers.device_counter import count_file_primed_device
+
+            # the `-e` hash size bounds the streaming block (the table
+            # itself is O(graph kmers)); /64 maps the reference's 3e9
+            # entry default to ~48 MB blocks
+            block = int(min(max(hash_size // 64, 1 << 22), 1 << 28))
+            _log("  using device (TPU) PRIME+UPDATE counter")
+            return count_file_primed_device(
+                readfile, [segment_file], kmersize, block_bases=block
+            )
+        return ExactKmerCounter.count_file_primed(
+            readfile, [segment_file], kmersize, n_threads=nr_threads
+        )
     return ExactKmerCounter.count_file(readfile, kmersize)
 
 
@@ -349,8 +393,13 @@ def _genotyping_block(
             stored = results.result[chromosome]
             for i, likelihoods in enumerate(hmm.move_genotyping_result()):
                 stored[i].combine(likelihoods)
-    for chromosome in chromosomes:
-        results.runtimes[chromosome] = results.runtimes.get(chromosome, 0.0)
+    # per-chromosome HMM runtimes (reference src/commands.cpp:179-184):
+    # each run's host build/scatter time plus its column-weighted share
+    # of the batched device dispatches
+    for chromosome, hmm in all_runs:
+        results.runtimes[chromosome] = (
+            results.runtimes.get(chromosome, 0.0) + hmm.runtime
+        )
     results.runtimes["all"] = time.monotonic() - t
 
     if not only_phasing:
@@ -428,6 +477,7 @@ def run_genotype_command(
     sampling_effective_N: float = 0.01,
     allele_penalty: int = 5,
     serialize_output: bool = False,
+    hash_size: int = 3_000_000_000,
 ) -> int:
     """PanGenie genotype from index (reference src/commands.cpp:730-1086)."""
     check_input_file(readfile)
@@ -468,7 +518,10 @@ def run_genotype_command(
 
     summary.phase("reading UniqueKmersMap from disk")
     kmersize = unique_kmers_list.kmersize
-    read_kmer_counts = _read_counter(readfile, segment_file, kmersize, count_only_graph)
+    read_kmer_counts = _read_counter(
+        readfile, segment_file, kmersize, count_only_graph,
+        nr_jellyfish_threads, hash_size,
+    )
     summary.phase("counting kmers in reads")
 
     kmer_abundance_peak = read_kmer_counts.compute_histogram(
@@ -557,6 +610,7 @@ def run_single_command(
     sampling_effective_N: float = 0.01,
     allele_penalty: int = 5,
     serialize_output: bool = False,
+    hash_size: int = 3_000_000_000,
 ) -> int:
     """PanGenie single command (reference src/commands.cpp:224-590)."""
     check_input_file(reffile)
@@ -586,7 +640,10 @@ def run_single_command(
     _log("Count kmers in graph ...")
     genomic_kmer_counts = ExactKmerCounter.count_file(segment_file, kmersize)
 
-    read_kmer_counts = _read_counter(readfile, segment_file, kmersize, count_only_graph)
+    read_kmer_counts = _read_counter(
+        readfile, segment_file, kmersize, count_only_graph,
+        nr_jellyfish_threads, hash_size,
+    )
 
     kmer_abundance_peak = read_kmer_counts.compute_histogram(
         10000, count_only_graph, outname + "_histogram.histo"
@@ -698,6 +755,7 @@ def run_sampling(
     recombrate: float = 1.26,
     sampling_effective_N: float = 0.01,
     allele_penalty: int = 5,
+    hash_size: int = 3_000_000_000,
 ) -> int:
     """PanGenie-sampling (reference src/commands.cpp:1156-1360)."""
     check_input_file(readfile)
@@ -718,7 +776,10 @@ def run_sampling(
         return 0
 
     kmersize = unique_kmers_list.kmersize
-    read_kmer_counts = _read_counter(readfile, segment_file, kmersize, count_only_graph)
+    read_kmer_counts = _read_counter(
+        readfile, segment_file, kmersize, count_only_graph,
+        nr_jellyfish_threads, hash_size,
+    )
     kmer_abundance_peak = read_kmer_counts.compute_histogram(
         10000, count_only_graph, outname + "_histogram.histo"
     )

@@ -179,6 +179,10 @@ class PairHMM:
         dtype=jnp.float64,
         defer: bool = False,
     ):
+        import time as _time
+
+        _t0 = _time.monotonic()
+        self.runtime = 0.0  # host build + (attributed) device seconds
         self.records = records
         self._run_genotyping = run_genotyping
         self._run_phasing = run_phasing
@@ -210,6 +214,7 @@ class PairHMM:
             )
         if not defer:
             self._execute()
+        self.runtime += _time.monotonic() - _t0
 
     SEGMENT = 1 << 17  # columns per streamed segment for long scans
 

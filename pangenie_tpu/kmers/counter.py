@@ -134,11 +134,13 @@ class ExactKmerCounter(KmerCounter):
 
     @classmethod
     def count_file_primed(
-        cls, read_file: str, corpus_files: Sequence[str], k: int
+        cls, read_file: str, corpus_files: Sequence[str], k: int,
+        n_threads: int = 0,
     ) -> "ExactKmerCounter":
         """PRIME+UPDATE mode: track only k-mers present in the corpus.
 
-        (reference src/jellyfishcounter.cpp:51-85)
+        ``n_threads`` is the reference's `-j` jellyfish thread count
+        (0 = all cores). (reference src/jellyfishcounter.cpp:51-85)
         """
         corpus_kmers = []
         for f in corpus_files:
@@ -160,19 +162,23 @@ class ExactKmerCounter(KmerCounter):
                 block.append(seq)
                 block_bases += len(seq)
                 if block_bases >= 32 * 1024 * 1024:
-                    cls._accumulate_block(keys, counts, block, k, hash_index)
+                    cls._accumulate_block(
+                        keys, counts, block, k, hash_index, n_threads
+                    )
                     block, block_bases = [], 0
             if block:
-                cls._accumulate_block(keys, counts, block, k, hash_index)
+                cls._accumulate_block(
+                    keys, counts, block, k, hash_index, n_threads
+                )
         return cls(k, keys, counts)
 
     @classmethod
     def _accumulate_block(
         cls, keys: np.ndarray, counts: np.ndarray, block: List[bytes],
-        k: int, hash_index=None,
+        k: int, hash_index=None, n_threads: int = 0,
     ) -> None:
         if hash_index is not None:
-            hash_index.stream_update(block, k, counts)
+            hash_index.stream_update(block, k, counts, n_threads)
             return
         if native.stream_update_counts(block, k, keys, counts):
             return

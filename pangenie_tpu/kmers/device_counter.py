@@ -553,6 +553,87 @@ class PrimedDeviceCounter:
         return ExactKmerCounter(self.k, keys[keep], counts[keep])
 
 
+def count_file_primed_device(
+    read_file: str,
+    corpus_files,
+    k: int,
+    block_bases: int = 32 << 20,
+) -> "ExactKmerCounter":  # noqa: F821 (forward ref, see import below)
+    """PRIME+UPDATE counting of a read file on the device.
+
+    The production genotype-phase counting path on TPU (host fallback:
+    ``ExactKmerCounter.count_file_primed``). Graph-corpus k-mers are
+    extracted host-side (native C++), registered once as the fixed
+    device table, and the read file is streamed through
+    :func:`primed_update_merge` in fixed-shape batches:
+
+    - reads are bucketed by length (next power of two, >=128) so each
+      bucket compiles exactly one XLA executable,
+    - a bucket flushes when it holds ~``block_bases`` bases; the final
+      partial flush pads with invalid rows (masked in the kernel),
+    - host packing (2 bits/base + validity bit) overlaps device compute
+      since ``primed_update_merge`` dispatches asynchronously.
+
+    ``block_bases`` is the device-memory knob standing in for the
+    reference's jellyfish hash size `-e` (src/jellyfishcounter.cpp:29-36):
+    the count table itself is O(graph kmers) regardless of read volume;
+    the streaming buffer is what scales with it.
+
+    Returns an ExactKmerCounter with the SAME key set and counts the
+    host primed counter produces (zero-count graph keys included).
+    """
+    from .counter import ExactKmerCounter, iter_sequences
+
+    corpus_kmers = [
+        ExactKmerCounter._extract_canonical(iter_sequences(f), k)
+        for f in corpus_files
+    ]
+    keys = np.unique(
+        np.concatenate(corpus_kmers)
+        if corpus_kmers
+        else np.empty(0, dtype=np.uint64)
+    )
+    if not len(keys):
+        return ExactKmerCounter(k, keys, np.zeros(0, dtype=np.int64))
+
+    counter = PrimedDeviceCounter(k, keys)
+    min_bucket = 128
+
+    def bucket_of(n: int) -> int:
+        b = min_bucket
+        while b < n:
+            b *= 2
+        return b
+
+    pending: dict = {}  # L_bucket -> (rows list, fixed row count)
+
+    def flush(L: int) -> None:
+        rows, nrows = pending.pop(L)
+        if not rows:
+            return
+        if len(rows) < nrows:  # final partial block: pad invalid rows
+            rows = rows + [b""] * (nrows - len(rows))
+        codes, _ = pack_read_batch(rows, length=L)
+        packed = pack_codes_2bit(codes)
+        counter.update_packed_batch(packed[0], packed[1], L)
+
+    for seq in iter_sequences(read_file):
+        if len(seq) < k:
+            continue
+        L = bucket_of(len(seq))
+        if L not in pending:
+            pending[L] = ([], max(1, block_bases // L))
+        rows, nrows = pending[L]
+        rows.append(seq)
+        if len(rows) >= nrows:
+            flush(L)
+    for L in list(pending):
+        flush(L)
+
+    keys_out, counts = counter.to_host_arrays()
+    return ExactKmerCounter(k, keys_out, counts)
+
+
 class DeviceKmerCounter:
     """Batch-streaming device counter with host-compatible output."""
 

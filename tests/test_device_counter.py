@@ -218,3 +218,53 @@ def test_primed_merge_matches_host_counts():
     keys, counts = dev.to_host_arrays()
     np.testing.assert_array_equal(keys, graph_keys)
     np.testing.assert_array_equal(counts, expected)
+
+
+def test_count_file_primed_device_matches_host(tmp_path):
+    """The production device streaming path (file in, ExactKmerCounter
+    out) produces the host primed counter's table exactly — keys AND
+    counts, zero-count graph keys included."""
+    from pangenie_tpu.kmers.device_counter import count_file_primed_device
+
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = bases[rng.integers(0, 4, size=6000)].tobytes()
+    corpus = tmp_path / "segments.fa"
+    corpus.write_text(f">seg\n{genome.decode()}\n")
+    reads = tmp_path / "reads.fa"
+    with open(reads, "w") as out:
+        for i in range(300):
+            start = int(rng.integers(0, len(genome) - 100))
+            length = int(rng.integers(40, 100))  # mixed length buckets
+            out.write(f">r{i}\n{genome[start:start + length].decode()}\n")
+        out.write(">odd\nACGTNNACGTACGTACGTACGTACGTACGTACGTACG\n")
+
+    k = 31
+    host = ExactKmerCounter.count_file_primed(str(reads), [str(corpus)], k)
+    # tiny block_bases forces multiple flushes incl. padded partials
+    dev = count_file_primed_device(
+        str(reads), [str(corpus)], k, block_bases=4096
+    )
+    np.testing.assert_array_equal(host.keys, dev.keys)
+    np.testing.assert_array_equal(host.counts, dev.counts)
+
+
+def test_hmm_dtype_env_and_platform(monkeypatch):
+    import jax.numpy as jnp
+
+    from pangenie_tpu import commands
+
+    monkeypatch.setenv("PANGENIE_TPU_DTYPE", "float32")
+    assert commands._hmm_dtype() == jnp.float32
+    monkeypatch.setenv("PANGENIE_TPU_DTYPE", "f64")
+    assert commands._hmm_dtype() == jnp.float64
+    monkeypatch.delenv("PANGENIE_TPU_DTYPE")
+    # CPU test backend -> verification default f64
+    assert commands._hmm_dtype() == jnp.float64
+    monkeypatch.setattr(commands, "_default_platform", lambda: "tpu")
+    assert commands._hmm_dtype() == jnp.float32
+    # counter routing honors the env override on any backend
+    monkeypatch.setenv("PANGENIE_TPU_COUNTER", "host")
+    assert not commands._use_device_counter()
+    monkeypatch.setenv("PANGENIE_TPU_COUNTER", "device")
+    assert commands._use_device_counter()
