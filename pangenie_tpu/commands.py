@@ -21,6 +21,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Dict, List
 
+from .hmm.columns import densify_records
 from .hmm.genotyping import PairHMM
 from .utils.timer import PhaseSummary
 from .hmm.sampling import HaplotypeSampler
@@ -251,13 +252,29 @@ def fill_read_kmercounts(
     allele_penalty: int,
 ) -> None:
     """Stream the kmer TSV, fill read counts + local coverage, then run
-    haplotype sampling (reference src/commands.cpp:76-152)."""
+    haplotype sampling (reference src/commands.cpp:76-152).
+
+    K-mer strings are encoded and looked up in bulk (one batched
+    abundance query per chromosome instead of a Python call per k-mer);
+    counts/coverage scatter back via per-record array ops.
+    """
     import gzip
+
+    import numpy as np
+
+    from .kmers.mer import encode_kmer_strings
 
     filename = f"{precomputed_prefix}_{chromosome}_kmers.tsv.gz"
     records = unique_kmers_map.unique_kmers[chromosome]
+    kmersize = unique_kmers_map.kmersize
     min_cov = kmer_coverage // 4
     max_cov = kmer_coverage * 4
+
+    # pass 1: parse the TSV, collecting all kmer strings
+    kmer_strs: List[str] = []
+    flank_strs: List[str] = []
+    n_kmers: List[int] = []
+    n_flanks: List[int] = []
     var_index = 0
     with gzip.open(filename, "rt") as f:
         for line in f:
@@ -269,37 +286,65 @@ def fill_read_kmercounts(
             if tokens[0].startswith("#"):
                 continue
             assert tokens[0] == chromosome
-            record = records[var_index]
-            assert int(tokens[1]) == record.get_variant_position()
+            assert int(tokens[1]) == records[var_index].get_variant_position()
             kmers = tokens[3].split(",") if tokens[3] != "nan" else []
             flanking = tokens[4].split(",") if tokens[4] != "nan" else []
-
-            for i, kmer in enumerate(kmers):
-                count = read_kmer_counts.get_kmer_abundance(kmer)
-                probs = probabilities.get_probability(kmer_coverage, count)
-                if not (probs[0] > 0 or probs[1] > 0 or probs[2] > 0):
-                    _log(
-                        f"Warning: only zero probabilities for {kmer} at "
-                        f"{chromosome} {tokens[1]}"
-                    )
-                record.update_readcount(i, count)
-
-            # local coverage from flanking kmers (reference
-            # src/kmerparser.cpp:30-49: every TSV kmer considered, counts
-            # outside [peak/4, 4*peak] skipped, int division, fallback peak)
-            total_coverage = 0
-            total_kmers = 0
-            for kmer in flanking:
-                count = read_kmer_counts.get_kmer_abundance(kmer)
-                if count < min_cov or count > max_cov:
-                    continue
-                total_coverage += count
-                total_kmers += 1
-            if total_kmers > 0 and total_coverage > 0:
-                record.set_coverage(total_coverage // total_kmers)
-            else:
-                record.set_coverage(kmer_coverage)
+            kmer_strs.extend(kmers)
+            flank_strs.extend(flanking)
+            n_kmers.append(len(kmers))
+            n_flanks.append(len(flanking))
             var_index += 1
+
+    # pass 2: batched encode + abundance lookups
+    counts = read_kmer_counts.get_abundances(
+        encode_kmer_strings(kmer_strs, kmersize)
+    )
+    flank_counts = read_kmer_counts.get_abundances(
+        encode_kmer_strings(flank_strs, kmersize)
+    )
+
+    # zero-probability warnings (rare; reference src/commands.cpp:118-126)
+    probs = probabilities.get_probabilities(kmer_coverage, counts)
+    bad = np.nonzero(~(probs > 0).any(axis=1))[0]
+    if len(bad):
+        sizes_k = np.asarray(n_kmers, dtype=np.int64)
+        rec_of_kmer = np.repeat(np.arange(len(records)), sizes_k)
+        for b in bad.tolist():
+            r = records[int(rec_of_kmer[b])]
+            _log(
+                f"Warning: only zero probabilities for {kmer_strs[b]} at "
+                f"{chromosome} {r.get_variant_position()}"
+            )
+
+    # pass 3: scatter read counts + local coverage back into records.
+    # Local coverage per record = int mean of flanking counts within
+    # [peak/4, 4*peak], fallback peak (reference src/kmerparser.cpp:30-49)
+    sizes_f = np.asarray(n_flanks, dtype=np.int64)
+    valid = (flank_counts >= min_cov) & (flank_counts <= max_cov)
+    csum_v = np.concatenate([[0], np.cumsum(np.where(valid, flank_counts, 0))])
+    csum_n = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+    ends = np.cumsum(sizes_f)
+    starts = ends - sizes_f
+    seg_sum = csum_v[ends] - csum_v[starts]
+    seg_n = csum_n[ends] - csum_n[starts]
+    coverages = np.where(
+        (seg_n > 0) & (seg_sum > 0),
+        seg_sum // np.maximum(seg_n, 1),
+        kmer_coverage,
+    ).tolist()
+
+    offset = 0
+    for i, record in enumerate(records):
+        nk = n_kmers[i]
+        if nk == record.size():
+            record.set_readcounts(counts[offset : offset + nk])
+        else:
+            # TSV line and record disagree; per-kmer update keeps the
+            # reference's bounds behaviour
+            for j in range(nk):
+                record.update_readcount(j, int(counts[offset + j]))
+        offset += nk
+        record.set_coverage(coverages[i])
 
     t = time.monotonic()
     HaplotypeSampler(
@@ -363,18 +408,20 @@ def _genotyping_block(
     all_runs: List[tuple] = []
     for chromosome in chromosomes:
         records = unique_kmers_list.unique_kmers[chromosome]
+        # chromosome-level densification shared by every path-subset run
+        dense = densify_records(records, probabilities) if records else None
         if not only_genotyping:
             all_runs.append((chromosome, PairHMM(
                 records, probabilities, False, True, recombrate,
                 False, effective_N, phasing_paths, normalize=False,
-                dtype=dtype, defer=True,
+                dtype=dtype, defer=True, dense=dense,
             )))
         if not only_phasing:
             for subset in subsets:
                 all_runs.append((chromosome, PairHMM(
                     records, probabilities, True, False, recombrate,
                     False, effective_N, subset, normalize=False,
-                    dtype=dtype, defer=True,
+                    dtype=dtype, defer=True, dense=dense,
                 )))
     # the (chromosome x subset) grid executes as batched device scans;
     # PANGENIE_TPU_PROFILE=<dir> wraps it in a jax.profiler trace

@@ -90,21 +90,24 @@ def _probability_grid(
 ) -> np.ndarray:
     """Vectorized [N, K, 3] P(count | CN) at per-column coverage."""
     N, K = counts.shape
-    out = np.zeros((N, K, 3), dtype=np.float64)
-    cov = coverage.astype(np.int64)[:, None].repeat(K, axis=1)
+    cov = coverage.astype(np.int64)
     cnt = counts.astype(np.int64)
-    in_table = (
-        (cov >= table.cov_min)
-        & (cov < table.cov_max)
-        & (cnt < table.count_max)
-        & mask
-    )
-    if table.table.size and np.any(in_table):
-        out[in_table] = table.table[cnt[in_table], cov[in_table] - table.cov_min]
+    cov_ok = (cov >= table.cov_min) & (cov < table.cov_max)
+    in_table = cov_ok[:, None] & (cnt < table.count_max) & mask
+    if table.table.size:
+        # clipped direct gather + mask (avoids the boolean fancy-index
+        # temporaries that dominated the densify profile)
+        cov_idx = np.clip(cov - table.cov_min, 0, table.table.shape[1] - 1)
+        cnt_idx = np.minimum(cnt, table.table.shape[0] - 1)
+        gathered = table.table[cnt_idx, cov_idx[:, None]]  # [N, K, 3]
+        out = np.where(in_table[:, :, None], gathered, 0.0)
+    else:
+        out = np.zeros((N, K, 3), dtype=np.float64)
     oob = mask & ~in_table
     if np.any(oob):
         # fall back per unique (cov, count) pair
-        pairs = np.stack([cov[oob], cnt[oob]], axis=1)
+        cov2 = np.broadcast_to(cov[:, None], (N, K))
+        pairs = np.stack([cov2[oob], cnt[oob]], axis=1)
         uniq, inverse = np.unique(pairs, axis=0, return_inverse=True)
         vals = np.stack(
             [table.compute_probability(int(c), int(x)) for c, x in uniq]
@@ -166,16 +169,205 @@ def _compute_all_zeros(
     return all_zeros
 
 
+@dataclass
+class DenseRecords:
+    """Chromosome-level, subset-independent densification of records.
+
+    Built ONCE per chromosome and shared by every (path-subset) HMM run
+    — kmer data, local-allele compression (over the FULL panel so local
+    indices agree across subsets), copy-number probabilities and the
+    all-zeros flags do not depend on the subset.
+    """
+
+    full: np.ndarray           # [R, P_full] path -> allele
+    positions: np.ndarray      # [R]
+    coverage: np.ndarray       # [R]
+    kmer_counts: np.ndarray    # [R, K]
+    kmer_mask: np.ndarray      # [R, K]
+    local_alleles: np.ndarray  # [R, A] sorted, -1 padded
+    nr_local: np.ndarray       # [R]
+    undefined: np.ndarray      # [R, A]
+    full_local: np.ndarray     # [R, P_full] local index per path allele
+    incidence: np.ndarray      # [R, K, A]
+    probs: np.ndarray          # [R, K, 3]
+    log_probs: np.ndarray      # [R, K, 3]
+    all_zeros: np.ndarray      # [R]
+
+    @property
+    def n_records(self) -> int:
+        return len(self.positions)
+
+
+def _ranks_in_sorted_rows(
+    local_alleles: np.ndarray, alleles: np.ndarray
+) -> np.ndarray:
+    """Per row: index of each allele in the row's sorted locals list
+    (= count of valid locals strictly below it). Blocked to bound the
+    [blk, P, A] temporary."""
+    N, P = alleles.shape
+    A = local_alleles.shape[1]
+    out = np.empty((N, P), dtype=np.int32)
+    blk = max(1, (1 << 24) // max(1, P * A))
+    for start in range(0, N, blk):
+        sl = slice(start, min(N, start + blk))
+        la = local_alleles[sl]
+        out[sl] = (
+            (la[:, None, :] >= 0) & (la[:, None, :] < alleles[sl][:, :, None])
+        ).sum(axis=2, dtype=np.int32)
+    return out
+
+
+def densify_records(
+    records: Sequence[UniqueKmersRecord],
+    probabilities: ProbabilityTable,
+) -> DenseRecords:
+    """Bulk numpy densification over the records' array internals.
+
+    The per-column Python loops this replaces were the genome-scale
+    host wall (the reference does the equivalent work inside its C++
+    thread pool, src/commands.cpp:76-152).
+    """
+    if not records:
+        raise RuntimeError("densify_records: no variant records.")
+    R = len(records)
+    nr_total_paths = records[0].get_nr_paths()
+
+    # full-panel allele matrix [R, P_full] (uniform path count, as the
+    # reference's ColumnIndexer assumes; src/columnindexer.cpp:7)
+    full = np.empty((R, nr_total_paths), dtype=np.int32)
+    for i, record in enumerate(records):
+        row = record.path_to_allele
+        if len(row) != nr_total_paths:
+            if len(row) == 0:
+                raise RuntimeError(
+                    f"build_columns: column {i} is not covered by any paths."
+                )
+            raise RuntimeError(
+                "build_columns: records disagree on the number of paths "
+                f"({len(row)} != {nr_total_paths} at column {i})."
+            )
+        full[i] = row
+
+    positions = np.fromiter(
+        (r.variant_position for r in records), dtype=np.int64, count=R
+    )
+    coverage = np.fromiter(
+        (r.coverage for r in records), dtype=np.int32, count=R
+    )
+    sizes = np.fromiter((r.size() for r in records), dtype=np.int64, count=R)
+    K = max(1, int(sizes.max()))
+
+    # dense kmer counts via flat CSR scatter
+    total_k = int(sizes.sum())
+    kmer_counts = np.zeros((R, K), dtype=np.int32)
+    kmer_mask = np.zeros((R, K), dtype=bool)
+    if total_k:
+        flat_counts = np.concatenate(
+            [r.kmer_counts for r in records if r.size()]
+        )
+        rowk = np.repeat(np.arange(R, dtype=np.int64), sizes)
+        offsets = np.cumsum(sizes) - sizes
+        colk = np.arange(total_k, dtype=np.int64) - np.repeat(offsets, sizes)
+        kmer_counts[rowk, colk] = flat_counts
+        kmer_mask[rowk, colk] = True
+
+    # local allele compression over the FULL panel's allele set
+    srt = np.sort(full, axis=1)
+    is_new = np.ones_like(srt, dtype=bool)
+    if nr_total_paths > 1:
+        is_new[:, 1:] = srt[:, 1:] != srt[:, :-1]
+    nr_local = is_new.sum(axis=1).astype(np.int32)
+    A = max(1, int(nr_local.max()))
+    local_alleles = np.full((R, A), -1, dtype=np.int32)
+    rank = np.cumsum(is_new, axis=1) - 1
+    new_rows, _ = np.nonzero(is_new)
+    local_alleles[new_rows, rank[is_new]] = srt[is_new]
+
+    full_local = _ranks_in_sorted_rows(local_alleles, full)
+
+    # undefined flags: rare — only visit rows that have any
+    undefined = np.zeros((R, A), dtype=bool)
+    has_undef = np.fromiter(
+        (r.has_undefined_alleles() for r in records), dtype=bool, count=R
+    )
+    for n in np.nonzero(has_undef)[0]:
+        record = records[n]
+        for li in range(int(nr_local[n])):
+            undefined[n, li] = record.is_undefined_allele(
+                int(local_alleles[n, li])
+            )
+
+    # kmer->local-allele incidence via the records' CSR arrays
+    incidence = np.zeros((R, K, A), dtype=bool)
+    if total_k:
+        all_single = all(r.all_single_allele() for r in records)
+        if all_single:
+            flat_allele = np.concatenate(
+                [r.allele_data for r in records if r.size()]
+            )
+            rows_e, cols_e = rowk, colk
+        else:
+            flat_allele = np.concatenate(
+                [r.allele_data for r in records if len(r.allele_data)]
+            )
+            per_kmer_lens = np.concatenate(
+                [np.diff(r.allele_indptr) for r in records if r.size()]
+            )
+            rows_e = np.repeat(rowk, per_kmer_lens)
+            cols_e = np.repeat(colk, per_kmer_lens)
+        E = len(flat_allele)
+        eblk = max(1, (1 << 25) // max(1, A))
+        for start in range(0, E, eblk):
+            sl = slice(start, min(E, start + eblk))
+            eq = local_alleles[rows_e[sl]] == flat_allele[sl, None]
+            present = eq.any(axis=1)
+            li = eq.argmax(axis=1)
+            incidence[
+                rows_e[sl][present], cols_e[sl][present], li[present]
+            ] = True
+
+    probs = _probability_grid(probabilities, coverage, kmer_counts, kmer_mask)
+    with np.errstate(divide="ignore"):
+        log_probs = np.where(probs > 0, np.log(np.maximum(probs, 1e-300)), -np.inf)
+    all_zeros = _compute_all_zeros(
+        records, np.arange(R, dtype=np.int64), probs, kmer_mask
+    )
+
+    return DenseRecords(
+        full=full,
+        positions=positions,
+        coverage=coverage,
+        kmer_counts=kmer_counts,
+        kmer_mask=kmer_mask,
+        local_alleles=local_alleles,
+        nr_local=nr_local,
+        undefined=undefined,
+        full_local=full_local,
+        incidence=incidence,
+        probs=probs,
+        log_probs=log_probs,
+        all_zeros=all_zeros,
+    )
+
+
 def build_columns(
     records: Sequence[UniqueKmersRecord],
     probabilities: ProbabilityTable,
     only_paths: Optional[Sequence[int]] = None,
+    dense: Optional[DenseRecords] = None,
 ) -> HMMColumns:
-    """Build dense HMM inputs for a chromosome and a path subset."""
+    """Dense HMM inputs for one (chromosome, path-subset) run.
+
+    With ``dense`` given (built once per chromosome via
+    :func:`densify_records`), the per-subset work is only row filtering
+    and path-column slicing — all vectorized.
+    """
     if not records:
         raise RuntimeError("build_columns: no variant records.")
+    if dense is None:
+        dense = densify_records(records, probabilities)
 
-    nr_total_paths = records[0].get_nr_paths()
+    nr_total_paths = dense.full.shape[1]
     if only_paths is not None:
         paths = [p for p in only_paths if p < nr_total_paths]
     else:
@@ -183,24 +375,17 @@ def build_columns(
     if len(paths) == 0:
         raise RuntimeError("build_columns: column is not covered by any paths.")
     paths_arr = np.array(paths, dtype=np.int32)
-
-    kept: List[int] = []
-    for idx, record in enumerate(records):
-        if record.get_nr_paths() == 0:
-            raise RuntimeError(
-                f"build_columns: column {idx} is not covered by any paths."
-            )
-        keep = False
-        for p in paths:
-            a = record.get_allele(p)
-            if a != 0 and not record.is_undefined_allele(a):
-                keep = True
-                break
-        if keep:
-            kept.append(idx)
-    kept_arr = np.array(kept, dtype=np.int64)
-    N = len(kept)
     P = len(paths)
+
+    sub_all = dense.full[:, paths_arr]          # [R, P]
+    sub_local = dense.full_local[:, paths_arr]  # [R, P]
+
+    # keep columns where some selected path carries a non-REF, defined
+    # allele (src/columnindexer.cpp:24-31)
+    path_undef = np.take_along_axis(dense.undefined, sub_local, axis=1)
+    keep_mask = ((sub_all != 0) & ~path_undef).any(axis=1)
+    kept_arr = np.nonzero(keep_mask)[0].astype(np.int64)
+    N = len(kept_arr)
     if N == 0:
         K = 1
         return HMMColumns(
@@ -221,71 +406,20 @@ def build_columns(
             nr_local=np.zeros(0, dtype=np.int32),
         )
 
-    K = max(1, max(records[i].size() for i in kept))
-
-    positions = np.zeros(N, dtype=np.int64)
-    alleles = np.zeros((N, P), dtype=np.int32)
-    kmer_counts = np.zeros((N, K), dtype=np.int32)
-    kmer_mask = np.zeros((N, K), dtype=bool)
-    coverage = np.zeros(N, dtype=np.int32)
-
-    # local allele compression is over the FULL panel's allele set so
-    # that local indices agree across path subsets
-    local_allele_lists: List[List[int]] = []
-    A = 1
-    for n, idx in enumerate(kept):
-        record = records[idx]
-        positions[n] = record.get_variant_position()
-        coverage[n] = record.get_coverage()
-        for j, p in enumerate(paths):
-            alleles[n, j] = record.get_allele(p)
-        for ki in range(record.size()):
-            kmer_counts[n, ki] = record.get_readcount_of(ki)
-            kmer_mask[n, ki] = True
-        locals_n = sorted(set(record.path_to_allele))
-        local_allele_lists.append(locals_n)
-        A = max(A, len(locals_n))
-
-    local_alleles = np.full((N, A), -1, dtype=np.int32)
-    allele_local = np.zeros((N, P), dtype=np.int32)
-    nr_local = np.zeros(N, dtype=np.int32)
-    incidence = np.zeros((N, K, A), dtype=bool)
-    undefined = np.zeros((N, A), dtype=bool)
-    for n in range(N):
-        record = records[kept[n]]
-        locals_n = local_allele_lists[n]
-        nr_local[n] = len(locals_n)
-        local_alleles[n, : len(locals_n)] = locals_n
-        lookup = {a: i for i, a in enumerate(locals_n)}
-        for li, a in enumerate(locals_n):
-            undefined[n, li] = record.is_undefined_allele(a)
-        for j in range(P):
-            allele_local[n, j] = lookup[int(alleles[n, j])]
-        for ki in range(record.size()):
-            for a in record.kmer_alleles[ki]:
-                li = lookup.get(int(a))
-                if li is not None:
-                    incidence[n, ki, li] = True
-
-    probs = _probability_grid(probabilities, coverage, kmer_counts, kmer_mask)
-    with np.errstate(divide="ignore"):
-        log_probs = np.where(probs > 0, np.log(np.maximum(probs, 1e-300)), -np.inf)
-    all_zeros = _compute_all_zeros(records, kept_arr, probs, kmer_mask)
-
     return HMMColumns(
         variant_ids=kept_arr,
-        positions=positions,
+        positions=dense.positions[kept_arr],
         paths=paths_arr,
-        alleles=alleles,
-        undefined=undefined,
-        kmer_counts=kmer_counts,
-        incidence=incidence,
-        kmer_mask=kmer_mask,
-        coverage=coverage,
-        log_probs=log_probs,
-        probs=probs,
-        all_zeros=all_zeros,
-        local_alleles=local_alleles,
-        allele_local=allele_local,
-        nr_local=nr_local,
+        alleles=sub_all[kept_arr],
+        undefined=dense.undefined[kept_arr],
+        kmer_counts=dense.kmer_counts[kept_arr],
+        incidence=dense.incidence[kept_arr],
+        kmer_mask=dense.kmer_mask[kept_arr],
+        coverage=dense.coverage[kept_arr],
+        log_probs=dense.log_probs[kept_arr],
+        probs=dense.probs[kept_arr],
+        all_zeros=dense.all_zeros[kept_arr],
+        local_alleles=dense.local_alleles[kept_arr],
+        allele_local=sub_local[kept_arr],
+        nr_local=dense.nr_local[kept_arr],
     )

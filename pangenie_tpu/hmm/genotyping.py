@@ -178,6 +178,7 @@ class PairHMM:
         normalize: bool = True,
         dtype=jnp.float64,
         defer: bool = False,
+        dense=None,
     ):
         import time as _time
 
@@ -199,7 +200,7 @@ class PairHMM:
             if not defer:
                 self._execute()
             return
-        columns = build_columns(records, probabilities, only_paths)
+        columns = build_columns(records, probabilities, only_paths, dense=dense)
         self.columns = columns
         self.device_cols = None
         if columns.n_columns > self.SEGMENT:
@@ -265,25 +266,41 @@ class PairHMM:
         self, posteriors: np.ndarray, log_corr: np.ndarray
     ) -> None:
         columns = self.columns
+        N = columns.n_columns
+        if N == 0:
+            return
         # undo the device-side emission rescale in extended precision so
         # stored raw likelihoods match the reference's long double scale
         # (they can be far below f64 range, e.g. 1e-400)
         corr = np.exp(log_corr.astype(np.longdouble))
-        for n in range(columns.n_columns):
-            result = self.genotyping_result[columns.variant_ids[n]]
-            nr_local = int(columns.nr_local[n])
-            locals_n = columns.local_alleles[n]
-            G = posteriors[n].astype(np.longdouble) * corr[n]
-            # zero-valued entries still create map keys, as the
-            # reference's operator[] does — the uniqueness check and
-            # contains_no_likelihoods() observe them
-            for i in range(nr_local):
-                a_i = int(locals_n[i])
-                result.add_to_likelihood(a_i, a_i, G[i, i])
-                for j in range(i + 1, nr_local):
-                    result.add_to_likelihood(
-                        a_i, int(locals_n[j]), G[i, j] + G[j, i]
-                    )
+        A = columns.local_alleles.shape[1]
+        G = posteriors[:, :A, :A].astype(np.longdouble) * corr[:, None, None]
+        # symmetrize: value of unordered pair (i<j) is G[i,j] + G[j,i]
+        sym = G + np.swapaxes(G, 1, 2)
+        iu, ju = np.triu_indices(A)
+        vals = sym[:, iu, ju]                     # [N, A*(A+1)/2]
+        diag_cols = np.nonzero(iu == ju)[0]
+        vals[:, diag_cols] = G[:, iu[diag_cols], ju[diag_cols]]
+        key_a = columns.local_alleles[:, iu].tolist()  # [N][pairs]
+        key_b = columns.local_alleles[:, ju].tolist()
+        # a pair (i <= j) exists iff j < nr_local; precompute the valid
+        # pair-column lists per nr_local value (avoids per-row nonzero)
+        nr_local = columns.nr_local
+        pair_cols = {
+            c: np.nonzero(ju < c)[0].tolist()
+            for c in np.unique(nr_local).tolist()
+        }
+        nr_local_list = nr_local.tolist()
+        variant_ids = columns.variant_ids.tolist()
+        results = self.genotyping_result
+        # zero-valued entries still create map keys, as the reference's
+        # operator[] does — the uniqueness check and
+        # contains_no_likelihoods() observe them
+        for n in range(N):
+            ka, kb, vn = key_a[n], key_b[n], vals[n]
+            results[variant_ids[n]].likelihoods = {
+                (ka[c], kb[c]): vn[c] for c in pair_cols[nr_local_list[n]]
+            }
 
     def _scatter_haplotypes(self, states: np.ndarray) -> None:
         columns = self.columns

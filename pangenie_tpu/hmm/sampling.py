@@ -69,6 +69,85 @@ def sampling_emission_costs(record: UniqueKmersRecord) -> np.ndarray:
     return costs
 
 
+def bulk_emission_costs(records: Sequence[UniqueKmersRecord]) -> np.ndarray:
+    """Vectorized :func:`sampling_emission_costs` over all records.
+
+    Returns [N, A_max] uint32; entries for allele ids a record does not
+    know stay 0 (they are never indexed). Uses the records' CSR arrays:
+    per-(record, allele) kmer totals and read-supported totals come from
+    two bincounts over record-offset allele keys.
+    """
+    N = len(records)
+    n_alleles = np.fromiter(
+        (max(r.alleles) + 1 if r.alleles else 1 for r in records),
+        dtype=np.int64,
+        count=N,
+    )
+    A = max(1, int(n_alleles.max()))
+
+    data_lens = np.fromiter(
+        (len(r.allele_data) for r in records), dtype=np.int64, count=N
+    )
+    rec_of = np.repeat(np.arange(N, dtype=np.int64), data_lens)
+    total_e = int(data_lens.sum())
+    if total_e:
+        flat_allele = np.concatenate(
+            [r.allele_data for r in records if len(r.allele_data)]
+        ).astype(np.int64)
+        if all(r.all_single_allele() for r in records):
+            present_flags = np.concatenate(
+                [r.kmer_counts for r in records if r.size()]
+            ) >= 3
+        else:
+            present_flags = np.concatenate(
+                [
+                    np.repeat(r.kmer_counts >= 3, np.diff(r.allele_indptr))
+                    for r in records
+                    if r.size()
+                ]
+            )
+        keys = rec_of * A + flat_allele
+        totals = np.bincount(keys, minlength=N * A).reshape(N, A)
+        present = np.bincount(
+            keys[present_flags], minlength=N * A
+        ).reshape(N, A)
+    else:
+        totals = np.zeros((N, A), dtype=np.int64)
+        present = totals
+
+    # fraction in float32 (the reference uses `float`), log10 in double
+    frac = np.ones((N, A), dtype=np.float32)
+    has_kmers = totals > 0
+    np.divide(
+        present.astype(np.float32),
+        totals.astype(np.float32),
+        out=frac,
+        where=has_kmers,
+    )
+    costs = np.zeros((N, A), dtype=np.uint32)
+    positive = frac > 0.0
+    with np.errstate(divide="ignore"):
+        logcost = np.trunc(-10.0 * np.log10(frac.astype(np.float64)))
+    costs[positive] = logcost[positive].astype(np.uint32)
+    costs[~positive] = 25
+    if np.any(costs[positive] >= 25):
+        raise AssertionError("bulk_emission_costs: cost >= 25 for positive fraction")
+
+    # undefined alleles cost 50 (rare; per-record fix-up)
+    for n, record in enumerate(records):
+        if record.has_undefined_alleles():
+            for a, undef in record.alleles.items():
+                if undef:
+                    costs[n, a] = 50
+    # alleles outside a record's id set must stay 0, as in
+    # sampling_emission_costs (costs array sized per record there)
+    mask = (
+        np.arange(A)[None, :] < n_alleles[:, None]
+    )
+    costs = np.where(mask, costs, 0).astype(np.uint32)
+    return costs
+
+
 def sampling_transition_cost(
     from_pos: int, to_pos: int, recomb_rate: float, nr_paths: int,
     effective_N: float,
@@ -305,24 +384,27 @@ class HaplotypeSampler:
         P = records[0].get_nr_paths()
 
         # dense emission state: [N, A_max] allele costs + [N, P] alleles
-        allele_costs = [sampling_emission_costs(r) for r in records]
-        A = max(len(c) for c in allele_costs)
-        costs = np.full((N, A), 0, dtype=np.uint32)
-        for n, c in enumerate(allele_costs):
-            costs[n, : len(c)] = c
-        alleles = np.zeros((N, P), dtype=np.int32)
+        costs = bulk_emission_costs(records)
+        alleles = np.empty((N, P), dtype=np.int32)
         for n, r in enumerate(records):
-            for p in range(P):
-                alleles[n, p] = r.get_allele(p)
+            alleles[n] = r.path_to_allele
 
-        positions = np.array(
-            [r.get_variant_position() for r in records], dtype=np.int64
+        positions = np.fromiter(
+            (r.variant_position for r in records), dtype=np.int64, count=N
         )
         switch = np.zeros(N, dtype=np.uint32)
-        for n in range(1, N):
-            switch[n] = sampling_transition_cost(
-                int(positions[n - 1]), int(positions[n]), recombrate, P,
-                effective_N,
+        if N > 1:
+            # vectorized sampling_transition_cost in long double
+            LD = np.longdouble
+            distance = (
+                np.diff(positions).astype(LD)
+                * LD(0.000004) * LD(recombrate) * LD(effective_N)
+            )
+            recomb_prob = (LD(1.0) - np.exp(-distance / LD(P))) * (
+                LD(1.0) / LD(P)
+            )
+            switch[1:] = np.trunc(-10.0 * np.log10(recomb_prob)).astype(
+                np.uint32
             )
         switch_j = jnp.asarray(switch)
         alleles_j = jnp.asarray(alleles)
@@ -383,11 +465,11 @@ class HaplotypeSampler:
     def _update_unique_kmers(self) -> None:
         """Rewrite every record onto the sampled path set
         (reference src/haplotypesampler.cpp:296-309)."""
-        nr_paths = len(self.sampled_paths)
+        if not self.sampled_paths:
+            return
+        sampled = np.asarray(self.sampled_paths, dtype=np.int64)  # [S, N]
         for n, record in enumerate(self.records):
-            record.update_paths(
-                [self.sampled_paths[j][n] for j in range(nr_paths)]
-            )
+            record.update_paths(sampled[:, n])
 
     def get_sampled_paths(self) -> List[List[int]]:
         return self.sampled_paths

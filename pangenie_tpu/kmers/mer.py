@@ -26,6 +26,7 @@ from ..io.sequence import encode_bases
 
 __all__ = [
     "encode_kmer",
+    "encode_kmer_strings",
     "decode_kmer",
     "revcomp_kmer",
     "canonicalize",
@@ -45,6 +46,25 @@ def encode_kmer(kmer: str | bytes, k: int | None = None) -> int:
     for c in codes:
         value = (value << 2) | int(c)
     return value
+
+
+def encode_kmer_strings(kmers, k: int) -> np.ndarray:
+    """Bulk-pack equal-length k-mer strings into uint64 (invalid -> 3).
+
+    One join + LUT + shift instead of a Python loop per k-mer — the
+    genotype-time TSV fill parses millions of k-mer strings
+    (reference src/kmerparser.cpp:16-28).
+    """
+    n = len(kmers)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    joined = "".join(kmers).encode("ascii")
+    if len(joined) != n * k:
+        raise RuntimeError("encode_kmer_strings: non-uniform k-mer length.")
+    codes = encode_bases(joined)
+    codes = np.where(codes > 3, 3, codes).astype(np.uint64).reshape(n, k)
+    shifts = (np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64))
+    return np.bitwise_or.reduce(codes << shifts, axis=1)
 
 
 def decode_kmer(value: int, k: int) -> str:

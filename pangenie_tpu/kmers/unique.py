@@ -28,36 +28,126 @@ from .mer import decode_kmer
 
 
 class UniqueKmersRecord:
-    """Unique-kmer state of one variant bubble."""
+    """Unique-kmer state of one variant bubble.
+
+    Internals are dense numpy arrays (not Python lists) so that
+    per-chromosome densification (`hmm.columns.build_columns`) and the
+    sampling-HMM cost build run as bulk array ops over millions of
+    records — the reference gets this for free in C++
+    (src/commands.cpp:76-152); a Python object graph does not.
+
+    - ``path_to_allele``: int32 [P]
+    - ``kmer_counts``: int32 [K]
+    - kmer -> allele incidence as CSR: ``allele_data`` int32 +
+      ``allele_indptr`` int32 [K+1] (alleles sorted unique per kmer)
+    """
+
+    __slots__ = (
+        "variant_position",
+        "coverage",
+        "path_to_allele",
+        "_kmer_counts",
+        "allele_data",
+        "allele_indptr",
+        "alleles",
+    )
 
     def __init__(self, variant_position: int, path_to_allele: Sequence[int]):
         self.variant_position = int(variant_position)
-        self.path_to_allele: List[int] = [int(a) for a in path_to_allele]
+        self.path_to_allele = np.asarray(path_to_allele, dtype=np.int32)
         self.coverage = 0
-        self.kmer_counts: List[int] = []
-        self.kmer_alleles: List[List[int]] = []
+        self._kmer_counts = np.empty(0, dtype=np.int32)
+        self.allele_data = np.empty(0, dtype=np.int32)
+        self.allele_indptr = np.zeros(1, dtype=np.int32)
         # allele id -> is_undefined; key set = alleles covered by paths
         # (+ any alleles later introduced by insert_kmer, mirroring the
         # reference's operator[] behaviour)
-        self.alleles: Dict[int, bool] = {}
-        for a in self.path_to_allele:
+        self.alleles: Dict[int, bool] = dict.fromkeys(
+            np.unique(self.path_to_allele).tolist(), False
+        )
+
+    # -- list-compat views (tests mutate these directly) -----------------
+
+    @property
+    def kmer_counts(self) -> np.ndarray:
+        return self._kmer_counts
+
+    @kmer_counts.setter
+    def kmer_counts(self, counts) -> None:
+        self._kmer_counts = np.asarray(counts, dtype=np.int32)
+
+    @property
+    def kmer_alleles(self) -> List[List[int]]:
+        ptr = self.allele_indptr
+        return [
+            self.allele_data[ptr[i] : ptr[i + 1]].tolist()
+            for i in range(len(ptr) - 1)
+        ]
+
+    @kmer_alleles.setter
+    def kmer_alleles(self, lists: Sequence[Sequence[int]]) -> None:
+        data: List[int] = []
+        indptr = [0]
+        for ids in lists:
+            data.extend(sorted(set(int(a) for a in ids)))
+            indptr.append(len(data))
+        self.allele_data = np.asarray(data, dtype=np.int32)
+        self.allele_indptr = np.asarray(indptr, dtype=np.int32)
+        for a in data:
             self.alleles.setdefault(a, False)
 
     # -- mutation --------------------------------------------------------
 
     def insert_kmer(self, readcount: int, allele_ids: Sequence[int]) -> None:
-        self.kmer_counts.append(int(readcount))
-        self.kmer_alleles.append([int(a) for a in allele_ids])
-        for a in allele_ids:
-            self.alleles.setdefault(int(a), False)
+        ids = np.unique(np.asarray(allele_ids, dtype=np.int32))
+        self._kmer_counts = np.append(self._kmer_counts, np.int32(readcount))
+        self.allele_data = np.concatenate([self.allele_data, ids])
+        self.allele_indptr = np.append(
+            self.allele_indptr, self.allele_indptr[-1] + np.int32(len(ids))
+        )
+        for a in ids.tolist():
+            self.alleles.setdefault(a, False)
+
+    def insert_kmers_single(
+        self, readcounts: np.ndarray, allele_ids: np.ndarray
+    ) -> None:
+        """Bulk insert of kmers lying on exactly one allele each (the
+        production selection invariant; src/uniquekmercomputer.cpp:45-92
+        keeps only single-allele kmers)."""
+        counts = np.asarray(readcounts, dtype=np.int32)
+        ids = np.asarray(allele_ids, dtype=np.int32)
+        assert len(counts) == len(ids)
+        if not len(ids):
+            return
+        self._kmer_counts = np.concatenate([self._kmer_counts, counts])
+        self.allele_data = np.concatenate([self.allele_data, ids])
+        self.allele_indptr = np.concatenate(
+            [
+                self.allele_indptr,
+                self.allele_indptr[-1]
+                + np.arange(1, len(ids) + 1, dtype=np.int32),
+            ]
+        )
+        for a in np.unique(ids).tolist():
+            self.alleles.setdefault(a, False)
 
     def update_readcount(self, kmer_index: int, new_count: int) -> None:
-        if kmer_index >= len(self.kmer_counts):
+        if kmer_index >= len(self._kmer_counts):
             raise RuntimeError(
                 f"UniqueKmersRecord.update_readcount: kmer index {kmer_index} "
                 "does not exist."
             )
-        self.kmer_counts[kmer_index] = int(new_count)
+        self._kmer_counts[kmer_index] = new_count
+
+    def set_readcounts(self, counts: np.ndarray) -> None:
+        """Bulk readcount fill (genotype-time TSV fill-in)."""
+        counts = np.asarray(counts)
+        if len(counts) != len(self._kmer_counts):
+            raise RuntimeError(
+                "UniqueKmersRecord.set_readcounts: size mismatch "
+                f"({len(counts)} != {len(self._kmer_counts)})."
+            )
+        self._kmer_counts = counts.astype(np.int32)
 
     def set_coverage(self, coverage: int) -> None:
         self.coverage = int(coverage)
@@ -73,7 +163,7 @@ class UniqueKmersRecord:
     # -- queries ---------------------------------------------------------
 
     def size(self) -> int:
-        return len(self.kmer_counts)
+        return len(self._kmer_counts)
 
     def get_variant_position(self) -> int:
         return self.variant_position
@@ -85,16 +175,23 @@ class UniqueKmersRecord:
         return len(self.path_to_allele)
 
     def get_allele(self, path_id: int) -> int:
-        return self.path_to_allele[path_id]
+        return int(self.path_to_allele[path_id])
 
     def get_readcount_of(self, kmer_index: int) -> int:
-        return self.kmer_counts[kmer_index]
+        return int(self._kmer_counts[kmer_index])
+
+    def all_single_allele(self) -> bool:
+        """True when every kmer lies on exactly one allele (production
+        invariant; the general case only arises in hand-built tests)."""
+        return len(self.allele_data) == len(self._kmer_counts)
 
     def kmer_on_allele(self, kmer_index: int, allele_id: int) -> bool:
-        return allele_id in self.kmer_alleles[kmer_index]
+        ptr = self.allele_indptr
+        seg = self.allele_data[ptr[kmer_index] : ptr[kmer_index + 1]]
+        return bool((seg == allele_id).any())
 
     def kmer_on_path(self, kmer_index: int, path_id: int) -> bool:
-        return self.kmer_on_allele(kmer_index, self.path_to_allele[path_id])
+        return self.kmer_on_allele(kmer_index, int(self.path_to_allele[path_id]))
 
     def get_path_ids(
         self, only_include: Optional[Sequence[int]] = None
@@ -103,18 +200,17 @@ class UniqueKmersRecord:
 
         (reference src/biallelicuniquekmers.cpp:95-112)
         """
-        paths: List[int] = []
-        alleles: List[int] = []
         if only_include is not None:
-            for p in only_include:
-                if p < len(self.path_to_allele):
-                    paths.append(p)
-                    alleles.append(self.path_to_allele[p])
-        else:
-            for i, a in enumerate(self.path_to_allele):
-                paths.append(i)
-                alleles.append(a)
-        return paths, alleles
+            nr = len(self.path_to_allele)
+            paths = [p for p in only_include if p < nr]
+            if not paths:
+                return [], []
+            alleles = self.path_to_allele[np.asarray(paths, dtype=np.int64)]
+            return paths, alleles.tolist()
+        return (
+            list(range(len(self.path_to_allele))),
+            self.path_to_allele.tolist(),
+        )
 
     def get_allele_ids(self) -> List[int]:
         return sorted(self.alleles.keys())
@@ -125,8 +221,11 @@ class UniqueKmersRecord:
     def is_undefined_allele(self, allele_id: int) -> bool:
         return self.alleles.get(allele_id, False)
 
+    def has_undefined_alleles(self) -> bool:
+        return any(self.alleles.values())
+
     def kmers_on_allele(self, allele_id: int) -> int:
-        return sum(1 for alleles in self.kmer_alleles if allele_id in alleles)
+        return int(np.count_nonzero(self.allele_data == allele_id))
 
     def kmers_on_alleles(self) -> Dict[int, int]:
         return {a: self.kmers_on_allele(a) for a in self.alleles}
@@ -136,11 +235,9 @@ class UniqueKmersRecord:
 
         (reference src/biallelicuniquekmers.cpp:170-180)
         """
-        return sum(
-            1
-            for count, alleles in zip(self.kmer_counts, self.kmer_alleles)
-            if count >= 3 and allele_id in alleles
-        )
+        lens = np.diff(self.allele_indptr)
+        present = np.repeat(self._kmer_counts >= 3, lens)
+        return int(np.count_nonzero((self.allele_data == allele_id) & present))
 
     def fraction_present_kmers_on_allele(self, allele_id: int) -> float:
         total = self.kmers_on_allele(allele_id)
@@ -156,30 +253,40 @@ class UniqueKmersRecord:
         """Restrict to the given paths (haplotype-sampling output).
 
         Kmers whose alleles are no longer covered are dropped and the
-        remaining kmers renumbered in old-index order
+        remaining kmers renumbered in old-index order; surviving kmers
+        keep their alleles in sorted order
         (reference src/biallelicuniquekmers.cpp:223-260).
         """
-        updated_path_to_allele = [self.path_to_allele[p] for p in path_ids]
-        surviving = dict.fromkeys(updated_path_to_allele)  # ordered unique
-        undefined = [a for a in sorted(surviving) if self.alleles.get(a, False)]
+        ids = np.asarray(path_ids, dtype=np.int64)
+        new_p2a = (
+            self.path_to_allele[ids].astype(np.int32)
+            if len(ids)
+            else np.empty(0, dtype=np.int32)
+        )
+        surviving = np.unique(new_p2a)
+        undefined = [
+            a for a in surviving.tolist() if self.alleles.get(a, False)
+        ]
 
-        kmer_to_alleles: Dict[int, List[int]] = {}
-        for a in sorted(surviving):
-            for kidx, alleles in enumerate(self.kmer_alleles):
-                if a in alleles:
-                    kmer_to_alleles.setdefault(kidx, []).append(a)
+        lens = np.diff(self.allele_indptr)
+        kmer_idx = np.repeat(
+            np.arange(len(lens), dtype=np.int64), lens
+        )
+        keep = np.isin(self.allele_data, surviving)
+        kept_kmer = kmer_idx[keep]
+        kept_allele = self.allele_data[keep]
+        # alleles already sorted within each kmer; kmer order preserved
+        old_ids, new_lens = np.unique(kept_kmer, return_counts=True)
 
-        old_counts = list(self.kmer_counts)
-        self.path_to_allele = updated_path_to_allele
-        self.alleles = {}
-        for a in updated_path_to_allele:
-            self.alleles.setdefault(a, False)
-        self.kmer_counts = []
-        self.kmer_alleles = []
+        self.path_to_allele = new_p2a
+        self.alleles = dict.fromkeys(surviving.tolist(), False)
         for a in undefined:
-            self.set_undefined_allele(a)
-        for kidx in sorted(kmer_to_alleles):
-            self.insert_kmer(old_counts[kidx], kmer_to_alleles[kidx])
+            self.alleles[a] = True
+        self._kmer_counts = self._kmer_counts[old_ids]
+        self.allele_data = kept_allele
+        self.allele_indptr = np.concatenate(
+            [np.zeros(1, dtype=np.int64), np.cumsum(new_lens)]
+        ).astype(np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -441,10 +548,13 @@ class UniqueKmerComputer:
                 coverage = record.get_coverage()
                 if len(ordered):
                     probs = probabilities.get_probabilities(coverage, counts)
-                    for (a, _kmer), count, p in zip(ordered, counts, probs):
-                        # skip kmers with all-zero probabilities
-                        if p[0] > 0 or p[1] > 0 or p[2] > 0:
-                            record.insert_kmer(int(count), [a])
+                    # skip kmers with all-zero probabilities
+                    keep = (probs > 0).any(axis=1)
+                    alleles_arr = np.fromiter(
+                        (a for a, _kmer in ordered), dtype=np.int32,
+                        count=len(ordered),
+                    )
+                    record.insert_kmers_single(counts[keep], alleles_arr[keep])
                 result.append(record)
 
             if delete_processed_variants:
@@ -579,10 +689,15 @@ class StepwiseUniqueKmerComputer:
                         sorted_kmers.tolist(), gen_counts[i],
                     )
                     kmer_strs: List[str] = []
+                    sel_alleles: List[int] = []
                     for a in sorted(allele_to_kmers):
                         for kmer in allele_to_kmers[a]:
-                            record.insert_kmer(0, [a])
+                            sel_alleles.append(a)
                             kmer_strs.append(decode_kmer(kmer, k))
+                    record.insert_kmers_single(
+                        np.zeros(len(sel_alleles), dtype=np.int32),
+                        np.asarray(sel_alleles, dtype=np.int32),
+                    )
                     # <=12 genome-unique kmers per flank
                     # (reference src/stepwiseuniquekmercomputer.cpp:227-265)
                     flanking: List[str] = []

@@ -98,13 +98,13 @@ def test_update_unique_kmers():
     HaplotypeSampler([u1, u2], 2, 1.26, 25000.0)
 
     assert u1.size() == 6
-    assert u1.kmer_counts == [10, 10, 7, 11, 10, 1]
+    assert u1.kmer_counts.tolist() == [10, 10, 7, 11, 10, 1]
     for i in range(3):
         assert u1.kmer_on_path(i + 3, 0)  # new path 0 = old 2 (allele 2)
         assert u1.kmer_on_path(i, 1)      # new path 1 = old 0 (allele 0)
 
     assert u2.size() == 2
-    assert u2.kmer_counts == [20, 22]
+    assert u2.kmer_counts.tolist() == [20, 22]
     for i in range(2):
         assert u2.kmer_on_path(i, 0)
         assert u2.kmer_on_path(i, 1)
@@ -120,14 +120,14 @@ def test_update_unique_kmers_reference_path():
     assert h.get_sampled_paths() == [[2, 2], [0, 1], [0, 0]]
 
     assert u1.size() == 6
-    assert u1.kmer_counts == [10, 10, 7, 11, 10, 1]
+    assert u1.kmer_counts.tolist() == [10, 10, 7, 11, 10, 1]
     for i in range(3):
         assert u1.kmer_on_path(i + 3, 0)
         assert u1.kmer_on_path(i, 1)
         assert u1.kmer_on_path(i, 2)
 
     assert u2.size() == 4
-    assert u2.kmer_counts == [1, 1, 20, 22]
+    assert u2.kmer_counts.tolist() == [1, 1, 20, 22]
     for i in range(2):
         assert u2.kmer_on_path(i + 2, 0)
         assert u2.kmer_on_path(i + 2, 1)
