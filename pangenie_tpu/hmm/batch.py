@@ -23,24 +23,43 @@ _PALLAS_MAX_PATHS = 96
 _PALLAS_MAX_ALLELES = 8  # A^2 unrolled FMA terms per column
 
 
-def use_pallas(columns: ColumnArrays) -> bool:
-    """True when the fused TPU kernel handles this batch."""
+def _common_eligible(columns: ColumnArrays, n_state_tensors: int) -> bool:
     if os.environ.get("PANGENIE_TPU_NO_PALLAS"):
         return False
     if columns.lp.dtype != jnp.float32:
         return False
     B, N, P = columns.alleles.shape
-    A = columns.incidence.shape[3]
-    if N == 0 or P > _PALLAS_MAX_PATHS or A > _PALLAS_MAX_ALLELES:
+    if N == 0 or P > _PALLAS_MAX_PATHS:
         return False
     lb = (max(B, 1) + 127) // 128 * 128
-    if N * P * P * lb * 4 > _PALLAS_HBM_CAP:
+    if n_state_tensors * N * P * P * lb * 4 > _PALLAS_HBM_CAP:
         return False
     try:
         platform = jax.devices()[0].platform
     except RuntimeError:
         return False
     return platform == "tpu"
+
+
+def use_pallas(columns: ColumnArrays) -> bool:
+    """True when the fused in-kernel-emission TPU kernel handles this
+    batch (requires the batch-wide allele count to be small: A^2
+    unrolled FMA terms per column)."""
+    A = columns.incidence.shape[3]
+    if A > _PALLAS_MAX_ALLELES:
+        return False
+    return _common_eligible(columns, n_state_tensors=1)
+
+
+def use_pallas_generic(columns: ColumnArrays) -> bool:
+    """True when the any-A generic kernel handles this batch: emissions
+    are precomputed A-bucketed on device (needs concrete arrays — the
+    bucketing gathers run outside jit), then the scan runs fused with
+    [P, P] state emissions streamed from HBM."""
+    if isinstance(columns.nr_local, jax.core.Tracer):
+        return False  # host-side bucketing needs concrete column data
+    # three [N, P, P, LB] HBM tensors live at once (E, alphas, posts)
+    return _common_eligible(columns, n_state_tensors=3)
 
 
 def forward_backward_batch(columns: ColumnArrays):
@@ -57,4 +76,8 @@ def forward_backward_batch(columns: ColumnArrays):
         from .pallas_fb import forward_backward_batch_pallas
 
         return forward_backward_batch_pallas(columns)
+    if use_pallas_generic(columns):
+        from .pallas_fb import forward_backward_batch_pallas_e
+
+        return forward_backward_batch_pallas_e(columns)
     return jax.vmap(forward_backward)(columns)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -234,9 +235,12 @@ class PairHMM:
             return
         if self.device_cols is not None:
             if self._run_genotyping:
-                posteriors, log_corr = forward_backward(self.device_cols)
+                # dispatch through the batched entry point (B=1) so the
+                # Pallas fast paths also cover single, ungrouped runs
+                stacked = jax.tree.map(lambda x: x[None], self.device_cols)
+                posteriors, log_corr = forward_backward_batch(stacked)
                 self._finish_genotyping(
-                    np.asarray(posteriors), np.asarray(log_corr)
+                    np.asarray(posteriors)[0], np.asarray(log_corr)[0]
                 )
             if self._run_phasing:
                 states = np.asarray(

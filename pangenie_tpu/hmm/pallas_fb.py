@@ -265,3 +265,333 @@ def forward_backward_batch_pallas(columns: ColumnArrays,
         axis=1,
     )
     return posteriors, columns.scale + next_scale
+
+
+# ---------------------------------------------------------------------------
+# Generic (any-A) kernel pair: consumes PRECOMPUTED [P, P] state
+# emissions instead of expanding them from [A, A] in-kernel, so there is
+# no per-column allele cap — one multiallelic SV bubble no longer knocks
+# a whole chromosome off the fused path (reference keeps such bubbles in
+# the same HMM, src/multiallelicuniquekmers.cpp). Emissions are computed
+# A-bucketed (each column pays its own A^2 cost) in
+# `bucketed_state_emissions`; posteriors come back raw [P, P] and are
+# collapsed to allele pairs outside.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_e(e_ref, tr_ref, alpha_ref, cfwd_ref, carry_ref,
+                  *, S: int, P: int):
+    i_n = pl.program_id(1)
+    dtype = carry_ref.dtype
+
+    def body(s, carry):
+        E = e_ref[s]
+        t0, t1, t2 = _trans_parts(tr_ref[s])
+        prev = _mix(carry, t0, t1, t2)
+        is_first = jnp.logical_and(i_n == jnp.int32(0), s == jnp.int32(0))
+        prev = jnp.where(is_first, jnp.ones_like(prev), prev)
+        cur = prev * E
+        alpha, c = _norm(cur, P)
+        alpha_ref[s] = alpha
+        cfwd_ref[pl.ds(s, 1), :] = c
+        return alpha
+
+    carry_ref[:] = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(S), body, carry_ref[:])
+
+
+def _bwd_kernel_e(alpha_ref, cfwd_ref, en_ref, trn_ref, last_ref,
+                  posts_ref, beta_ref, *, S: int, P: int):
+    i_n = pl.program_id(1)
+
+    @pl.when(i_n == jnp.int32(0))
+    def _():
+        beta_ref[:] = jnp.zeros_like(beta_ref)
+
+    def body(r, beta):
+        s = jnp.int32(S - 1) - r
+        helper = beta * en_ref[s]
+        t0, t1, t2 = _trans_parts(trn_ref[s])
+        mixed = _mix(helper, t0, t1, t2)
+        is_last = last_ref[s][None] > 0          # [1, 1, LB]
+        cur = jnp.where(is_last, jnp.ones_like(mixed), mixed)
+        beta_new, _c = _norm(cur, P)
+        cf = cfwd_ref[pl.ds(s, 1), :][None]      # [1, 1, LB]
+        posts_ref[s] = alpha_ref[s] * cur * cf   # [P, P, LB]
+        return beta_new
+
+    beta_ref[:] = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(S), body, beta_ref[:])
+
+
+def _pick_segment_e(P: int) -> int:
+    """The generic kernels stage three/four [S, P, P, 128] blocks
+    (double-buffered); keep their sum within ~8 MB of VMEM."""
+    per = P * P * LANE * 4
+    for s in (16, 8):
+        if 4 * s * per <= 8 * 1024 * 1024:
+            return s
+    return 8
+
+
+def _column_buckets(nr_local_np):
+    """Host-side bucketing of flat column indices by allele count
+    rounded up to a power of two. Returns [(a_bucket, idx, idx_padded)].
+    Padded gather rows repeat idx[0] (a member of the same bucket, so
+    its truncated-A computation is valid) and are scattered to a dummy
+    row."""
+    import numpy as np
+
+    out = []
+    a_b = 2
+    max_nr = int(nr_local_np.max())
+    lo = 0
+    while lo < max_nr:
+        idx = np.nonzero((nr_local_np > lo) & (nr_local_np <= a_b))[0]
+        if len(idx):
+            padded_n = 1 << max(0, int(np.ceil(np.log2(len(idx)))))
+            idx_p = np.concatenate(
+                [idx, np.full(padded_n - len(idx), idx[0], dtype=np.int64)]
+            )
+            out.append((a_b, idx, idx_p))
+        lo = a_b
+        a_b *= 2
+    return out
+
+
+@partial(jax.jit, static_argnames=("a_s", "P"))
+def _bucket_emission_rows(lp, pr, incidence, kmer_mask, undefined,
+                          all_zeros, scale, allele_local, a_s: int, P: int):
+    """[Mb, P, P] linear state emissions for one bucket.
+
+    The expansion runs as a_s^2 fused elementwise FMA passes over
+    [Mb, P, P] — NOT a batched-tiny einsum, which XLA pads to MXU tiles
+    (observed: 40x slower and an 80+ s compile on v5e).
+    """
+    from .emissions import log_emission_allele_matrix
+
+    dtype = lp.dtype
+    EA = jnp.exp(jax.vmap(log_emission_allele_matrix)(
+        lp, pr, incidence, kmer_mask, undefined, all_zeros, scale
+    ))  # [Mb, a_s, a_s]
+    Mb = EA.shape[0]
+    E = jnp.zeros((Mb, P, P), dtype)
+    for a in range(a_s):
+        sel_a = (allele_local == a).astype(dtype)[:, :, None]   # [Mb, P, 1]
+        for c in range(a_s):
+            sel_c = (allele_local == c).astype(dtype)[:, None, :]  # [Mb,1,P]
+            E += sel_a * sel_c * EA[:, a, c][:, None, None]
+    # flattened [Mb, P*P]: a [*, P, P] jit-boundary buffer gets padded
+    # to (8, 128) tiles on TPU (4x HBM at P=32); P*P is lane-aligned
+    return E.reshape(Mb, P * P)
+
+
+def bucketed_state_emissions(columns: ColumnArrays) -> jax.Array:
+    """Per-column LINEAR [P, P] state emissions, computed A-bucketed.
+
+    Columns are grouped (host-side) by their own allele count rounded to
+    a power of two, so a chromosome whose columns are 99% biallelic pays
+    A=2 emission math for those columns even when one SV bubble forces
+    the array-wide A to 16. Results are bitwise equal to the full-A
+    computation (the extra one-hot terms there multiply exact zeros).
+
+    Args:
+      columns: ColumnArrays with leading dims [B, N, ...].
+
+    Returns:
+      E [B, N, P*P] linear state emissions (rescaled by exp(-scale)),
+      flattened to keep the jit-boundary layout unpadded.
+    """
+    import numpy as np
+
+    B, N, P = columns.alleles.shape
+    A = columns.incidence.shape[3]
+    dtype = columns.lp.dtype
+    M = B * N
+
+    flat = jax.tree.map(
+        lambda x: x.reshape((M,) + x.shape[2:]), columns
+    )
+    nr_local = np.asarray(flat.nr_local)
+
+    # scatter into row M = dummy row for gather padding; dropped after
+    E = jnp.zeros((M + 1, P * P), dtype)
+    for a_b, idx, idx_p in _column_buckets(nr_local):
+        gidx = jnp.asarray(idx_p)
+        a_s = min(a_b, A)
+        E_b = _bucket_emission_rows(
+            flat.lp[gidx],
+            flat.pr[gidx],
+            flat.incidence[gidx][:, :, :a_s],
+            flat.kmer_mask[gidx],
+            flat.undefined[gidx][:, :a_s],
+            flat.all_zeros[gidx],
+            flat.scale[gidx],
+            flat.allele_local[gidx],
+            a_s=a_s,
+            P=P,
+        )
+        sidx = np.full(len(idx_p), M, dtype=np.int64)
+        sidx[: len(idx)] = idx
+        E = E.at[jnp.asarray(sidx)].set(E_b)
+    return E[:M].reshape(B, N, P * P)
+
+
+def bucketed_collapse(posts: jax.Array, columns: ColumnArrays) -> jax.Array:
+    """Collapse raw [B, N, P, P] posteriors to allele pairs, A-bucketed.
+
+    posteriors[b, n, a, c] = sum_{p, q: al[p]=a, al[q]=c} posts[b,n,p,q]
+    — as masked reduction passes (A per axis), not a batched-tiny
+    einsum (same XLA pathology as the emission expansion).
+    """
+    import numpy as np
+
+    B, N, P = columns.alleles.shape
+    A = columns.incidence.shape[3]
+    dtype = posts.dtype
+    M = B * N
+
+    flat_posts = posts.reshape(M, P * P)
+    al = columns.allele_local.reshape(M, P)
+    nr_local = np.asarray(columns.nr_local).reshape(M)
+
+    out = jnp.zeros((M + 1, A * A), dtype)
+    for a_b, idx, idx_p in _column_buckets(nr_local):
+        gidx = jnp.asarray(idx_p)
+        a_s = min(a_b, A)
+        out_b = _bucket_collapse_rows(
+            flat_posts[gidx], al[gidx], a_s=a_s, A=A
+        )
+        sidx = np.full(len(idx_p), M, dtype=np.int64)
+        sidx[: len(idx)] = idx
+        out = out.at[jnp.asarray(sidx)].set(out_b)
+    return out[:M].reshape(B, N, A, A)
+
+
+@partial(jax.jit, static_argnames=("a_s", "A"))
+def _bucket_collapse_rows(posts_flat, al, a_s: int, A: int):
+    dtype = posts_flat.dtype
+    Mb, P = al.shape
+    posts = posts_flat.reshape(Mb, P, P)
+    # rows: [Mb, a_s, P] — sum over p grouped by al[p]
+    rows = jnp.stack(
+        [
+            jnp.sum(posts * (al == a).astype(dtype)[:, :, None], axis=1)
+            for a in range(a_s)
+        ],
+        axis=1,
+    )
+    # cols: [Mb, a_s, a_s] — sum over q grouped by al[q]
+    out = jnp.stack(
+        [
+            jnp.sum(rows * (al == c).astype(dtype)[:, None, :], axis=2)
+            for c in range(a_s)
+        ],
+        axis=2,
+    )
+    pad = [(0, 0), (0, A - a_s), (0, A - a_s)]
+    # flat [Mb, A*A] keeps the jit-boundary layout unpadded
+    return jnp.pad(out, pad).reshape(Mb, A * A)
+
+
+def forward_backward_batch_pallas_e(columns: ColumnArrays,
+                                    interpret: bool = False):
+    """Any-A fused forward-backward: bucketed emissions + generic kernels.
+
+    Returns (posteriors [B, N, A, A], log_correction [B, N]) matching
+    :func:`forward_backward` up to f32 reduction-order rounding.
+    """
+    B, N, P = columns.alleles.shape
+    A = columns.incidence.shape[3]
+    dtype = columns.lp.dtype
+
+    del dtype, A
+    E = bucketed_state_emissions(columns)  # [B, N, P*P]
+    posts, log_corr = _fb_pallas_e_core(
+        E, columns.trans, columns.is_last, columns.scale, P=P,
+        interpret=interpret,
+    )
+    posteriors = bucketed_collapse(posts, columns)
+    return posteriors, log_corr
+
+
+@partial(jax.jit, static_argnames=("P", "interpret"))
+def _fb_pallas_e_core(E_flat, trans, is_last, scale, P: int,
+                      interpret: bool = False):
+    B, N = E_flat.shape[0], E_flat.shape[1]
+    dtype = E_flat.dtype
+    E = E_flat.reshape(B, N, P, P)
+
+    LB = _round_up(max(B, 1), LANE)
+    S = _pick_segment_e(P)
+    NP = _round_up(max(N, 1), S)
+
+    def to_lanes(x):
+        x = jnp.moveaxis(x, 0, -1)  # [N, ..., B]
+        pad = [(0, NP - x.shape[0])] + [(0, 0)] * (x.ndim - 2) + [(0, LB - B)]
+        return jnp.pad(x.astype(dtype), pad)
+
+    e_t = to_lanes(E)                                   # [NP, P, P, LB]
+    tr_t = to_lanes(trans)                              # [NP, 3, LB]
+    last_t = to_lanes(is_last.astype(dtype)[:, :, None])  # [NP, 1, LB]
+
+    nb_n = NP // S
+    grid = (LB // LANE, nb_n)
+    params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"),
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+
+    def spec(block, index_map):
+        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+
+    with jax.enable_x64(False):
+        alphas, c_fwd = pl.pallas_call(
+            partial(_fwd_kernel_e, S=S, P=P),
+            grid=grid,
+            in_specs=[
+                spec((S, P, P, LANE), lambda b, n: (n, 0, 0, b)),
+                spec((S, 3, LANE), lambda b, n: (n, 0, b)),
+            ],
+            out_specs=[
+                spec((S, P, P, LANE), lambda b, n: (n, 0, 0, b)),
+                spec((S, LANE), lambda b, n: (n, b)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((NP, P, P, LB), dtype),
+                jax.ShapeDtypeStruct((NP, LB), dtype),
+            ],
+            scratch_shapes=[pltpu.VMEM((P, P, LANE), dtype)],
+            compiler_params=params,
+            interpret=interpret,
+        )(e_t, tr_t)
+
+    en_t = jnp.roll(e_t, -1, axis=0)
+    trn_t = jnp.roll(tr_t, -1, axis=0)
+    rev = lambda n: nb_n - 1 - n  # noqa: E731
+
+    with jax.enable_x64(False):
+        posts = pl.pallas_call(
+            partial(_bwd_kernel_e, S=S, P=P),
+            grid=grid,
+            in_specs=[
+                spec((S, P, P, LANE), lambda b, n: (rev(n), 0, 0, b)),
+                spec((S, LANE), lambda b, n: (rev(n), b)),
+                spec((S, P, P, LANE), lambda b, n: (rev(n), 0, 0, b)),
+                spec((S, 3, LANE), lambda b, n: (rev(n), 0, b)),
+                spec((S, 1, LANE), lambda b, n: (rev(n), 0, b)),
+            ],
+            out_specs=spec((S, P, P, LANE), lambda b, n: (rev(n), 0, 0, b)),
+            out_shape=jax.ShapeDtypeStruct((NP, P, P, LB), dtype),
+            scratch_shapes=[pltpu.VMEM((P, P, LANE), dtype)],
+            compiler_params=params,
+            interpret=interpret,
+        )(alphas, c_fwd, en_t, trn_t, last_t)
+
+    # flat [B, N, P*P]: unpadded jit-boundary layout
+    posts_b = jnp.moveaxis(posts, -1, 0)[:B, :N].reshape(B, N, P * P)
+
+    next_scale = jnp.concatenate(
+        [scale[:, 1:], jnp.zeros((B, 1), scale.dtype)], axis=1
+    )
+    return posts_b, scale + next_scale
