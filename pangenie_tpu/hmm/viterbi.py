@@ -1,13 +1,19 @@
 """Viterbi (phasing) pass as a max-plus JAX scan.
 
 The reference Viterbi is O(P^4) per column (src/hmm.cpp:408-511): for
-every current path-pair it scans all previous path-pairs. Phasing only
-ever runs on <= 30 paths (src/commands.cpp:434-436 caps phasing paths),
-so S = P^2 <= 900 states: we build the [S, S] switch-count transition
-matrix once and do the whole column as one masked max-reduction in log
-space — exact semantics incl. the reference's tie-breaking (`>=` in
-row-major previous-state order means the LAST maximal index wins,
-src/hmm.cpp:464-471).
+every current path-pair it scans all previous path-pairs. The pair
+transition only depends on the SWITCH COUNT between states, so the
+max-plus recurrence factorizes exactly like the forward pass's rank-1
+sum trick — per current state (p1, p2) the best predecessor is the max
+over three classes {stay both, switch one, switch both}, each
+computable from per-row / per-column top-2 maxima of the previous
+column in O(P^2) total (vs O(P^4) dense). Tie-breaking is preserved
+exactly: the reference's `>=` scan in ascending row-major previous-
+state order means the LAST maximal index wins (src/hmm.cpp:464-471),
+which the factored form reproduces with last-argmax top-2 statistics
+and (value, index)-lexicographic class combination. The dense [S, S]
+formulation is kept as `_prev_best_dense` — the oracle for the
+tie-exactness regression tests.
 
 Backtrace pointers for all columns are stored ([N, S] int32) and the
 path is recovered with a reverse pointer-chase scan; the reference's
@@ -51,21 +57,116 @@ def _log_allele_emissions(columns: ColumnArrays) -> jnp.ndarray:
     )
 
 
+def _prev_best_dense(lv_prev, lt, P: int):
+    """O(P^4) reference formulation: (best value, last-max argmax) of
+    lv_prev[j] + lt[switches(j, i)] over previous states j, per current
+    state i. Test oracle for `_prev_best_factored`."""
+    S = P * P
+    sw = _switch_counts(P)
+    T = lt[sw]  # [S, S]
+    scores = lv_prev[:, None] + T  # scores[j, i]
+    best_val = jnp.max(scores, axis=0)
+    rev_arg = jnp.argmax(scores[::-1, :], axis=0)
+    best_idx = (S - 1) - rev_arg
+    return best_val, best_idx.astype(jnp.int32)
+
+
+def _top2_last(x, axis: int):
+    """Per-slice (m1, a1, m2, a2): max with LAST argmax, and the max
+    with LAST argmax after excluding index a1 (so m2/a2 answer "max
+    over the slice minus one given index" queries exactly, including
+    under ties)."""
+    n = x.shape[axis]
+    neg_inf = jnp.array(-jnp.inf, x.dtype)
+
+    def last_argmax(y):
+        return (n - 1) - jnp.argmax(jnp.flip(y, axis), axis=axis)
+
+    a1 = last_argmax(x)
+    m1 = jnp.take_along_axis(x, jnp.expand_dims(a1, axis), axis).squeeze(axis)
+    idx = jnp.expand_dims(
+        jnp.arange(n), [d for d in range(x.ndim) if d != axis]
+    )
+    masked = jnp.where(idx == jnp.expand_dims(a1, axis), neg_inf, x)
+    a2 = last_argmax(masked)
+    m2 = jnp.take_along_axis(
+        masked, jnp.expand_dims(a2, axis), axis
+    ).squeeze(axis)
+    return m1, a1.astype(jnp.int32), m2, a2.astype(jnp.int32)
+
+
+def _lex_max(va, ja, vb, jb):
+    """(value, state-index)-lexicographic max: larger value wins, ties
+    go to the LARGER previous-state index (the reference's last-max
+    `>=` ascending scan, src/hmm.cpp:464-471)."""
+    take_a = (va > vb) | ((va == vb) & (ja > jb))
+    return jnp.where(take_a, va, vb), jnp.where(take_a, ja, jb)
+
+
+def _prev_best_factored(lv_prev, lt, P: int):
+    """Exact O(P^2) factorization of `_prev_best_dense`.
+
+    The transition weight depends only on the switch count s(j, i), so
+    per current state i = (p1, p2) the best predecessor decomposes into
+    three classes: stay-both (j == i), switch-one (j shares exactly one
+    coordinate), switch-both (j shares neither). Each class max comes
+    from top-2 row/column statistics of lv_prev; last-max argmaxes and
+    lexicographic combination keep the dense tie-breaking bit-exact.
+    """
+    lv = lv_prev.reshape(P, P)
+    p = jnp.arange(P)
+    grid_r = p[:, None]  # p1
+    grid_c = p[None, :]  # p2
+
+    # per-row / per-column top-2 of the previous column's values
+    rm1, ra1, rm2, ra2 = _top2_last(lv, axis=1)  # [P] over q2 per q1
+    cm1, ca1, cm2, ca2 = _top2_last(lv, axis=0)  # [P] over q1 per q2
+
+    # class 0 — stay both: j == i
+    v0 = lv + lt[0]
+    j0 = (grid_r * P + grid_c).astype(jnp.int32)
+
+    # class 1 — switch one: (p1, q2 != p2)  or  (q1 != p1, p2)
+    ex = ra1[:, None] == grid_c                       # row max sits AT p2?
+    vr = jnp.where(ex, rm2[:, None], rm1[:, None])    # [P, P]
+    jr = grid_r * P + jnp.where(ex, ra2[:, None], ra1[:, None])
+    ey = ca1[None, :] == grid_r                       # col max sits AT p1?
+    vc = jnp.where(ey, cm2[None, :], cm1[None, :])
+    jc = jnp.where(ey, ca2[None, :], ca1[None, :]) * P + grid_c
+    v1, j1 = _lex_max(vr, jr.astype(jnp.int32), vc, jc.astype(jnp.int32))
+    v1 = v1 + lt[1]
+
+    # class 2 — switch both: q1 != p1 and q2 != p2.
+    # g[q1, p2] = max over q2 != p2 of lv[q1, q2] (with its col index);
+    # then top-2 over q1 per p2 answers the q1 != p1 exclusion.
+    gv = jnp.where(ex, rm2[:, None], rm1[:, None])            # [q1, p2]
+    ga = jnp.where(ex, ra2[:, None], ra1[:, None])            # col idx
+    gm1, gA1, gm2, gA2 = _top2_last(gv, axis=0)               # [P] per p2
+    hit = gA1[None, :] == grid_r                              # top row == p1?
+    v2 = jnp.where(hit, gm2[None, :], gm1[None, :]) + lt[2]
+    j2_row = jnp.where(hit, gA2[None, :], gA1[None, :])       # [P, P]
+    j2_col = jnp.take_along_axis(ga, j2_row.reshape(P, P), axis=0)
+    # ga is indexed [q1, p2]: for state (p1, p2) the winning row is
+    # j2_row[p1, p2] and its column ga[j2_row, p2] — gather per column
+    j2 = (j2_row * P + j2_col).astype(jnp.int32)
+
+    best_val, best_idx = _lex_max(v0, j0, v1, j1)
+    best_val, best_idx = _lex_max(best_val, best_idx, v2, j2)
+    return best_val.reshape(P * P), best_idx.reshape(P * P)
+
+
 def _viterbi_step(carry, inputs, P, dtype, uniform: bool,
-                  with_backtrace: bool):
+                  with_backtrace: bool, dense: bool = False):
     lv_prev, is_first = carry
     logEA, allele_local, trans = inputs
     S = P * P
-    sw = _switch_counts(P)
     logE = logEA[allele_local[:, None], allele_local[None, :]].reshape(S)
     if uniform:
         lt = jnp.zeros(3, dtype)
     else:
         lt = jnp.log(trans)
-    T = lt[sw]  # [S, S]
-    scores = lv_prev[:, None] + T  # scores[j, i]
-    # last-max tie-breaking: argmax over reversed j
-    best_val = jnp.max(scores, axis=0)
+    prev_best = _prev_best_dense if dense else _prev_best_factored
+    best_val, best_idx = prev_best(lv_prev, lt, P)
     prev_cell = jnp.where(is_first, jnp.zeros(S, dtype), best_val)
     cur = prev_cell + logE
     # per-column normalization (reference divides by the sum; any
@@ -77,11 +178,7 @@ def _viterbi_step(carry, inputs, P, dtype, uniform: bool,
     )
     if not with_backtrace:
         return (cur, jnp.zeros((), bool)), None
-    rev_arg = jnp.argmax(scores[::-1, :], axis=0)
-    best_idx = (S - 1) - rev_arg
-    backtrace = jnp.where(
-        is_first, jnp.zeros(S, jnp.int32), best_idx.astype(jnp.int32)
-    )
+    backtrace = jnp.where(is_first, jnp.zeros(S, jnp.int32), best_idx)
     return (cur, jnp.zeros((), bool)), backtrace
 
 
