@@ -119,6 +119,12 @@ def main(argv=None) -> int:
 
     args = parser.parse_args(argv)
 
+    # multi-host: join the jax.distributed cluster (env-configured) before
+    # the first backend use; a no-op for single-process runs
+    from .parallel.distributed import maybe_initialize
+
+    maybe_initialize()
+
     from . import commands
 
     if args.command == "index":

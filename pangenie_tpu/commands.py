@@ -118,6 +118,15 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr)
 
 
+def _coordinator_file(filename: str) -> str:
+    """Output files are written by the coordinator only under multi-host
+    execution (peer processes would race on a shared filesystem); ""
+    disables the write at every call site."""
+    from .parallel import distributed as dist
+
+    return filename if dist.is_coordinator() else ""
+
+
 def _save(obj, filename: str) -> None:
     with open(filename, "wb") as f:
         pickle.dump(obj, f, protocol=pickle.HIGHEST_PROTOCOL)
@@ -136,6 +145,8 @@ def _read_counter(
     nr_threads: int = 1,
     hash_size: int = 3_000_000_000,
 ) -> KmerCounter:
+    from .parallel import distributed as dist
+
     if readfile.endswith(".jf"):
         from .kmers.jf_reader import read_jf
 
@@ -143,6 +154,16 @@ def _read_counter(
         return read_jf(readfile, kmersize)
     _log("Count kmers in reads ...")
     if count_only_graph:
+        # multi-host: each process streams a disjoint read shard against
+        # the shared graph-kmer table; the count vectors are summed over
+        # DCN (the reference's lock-free hash merge becomes an all-reduce)
+        shard = None
+        if dist.process_count() > 1:
+            shard = (dist.process_index(), dist.process_count())
+            _log(
+                f"  multi-host: process {shard[0]}/{shard[1]} counts every "
+                f"{shard[1]}-th read"
+            )
         if _use_device_counter():
             from .kmers.device_counter import count_file_primed_device
 
@@ -151,12 +172,18 @@ def _read_counter(
             # entry default to ~48 MB blocks
             block = int(min(max(hash_size // 64, 1 << 22), 1 << 28))
             _log("  using device (TPU) PRIME+UPDATE counter")
-            return count_file_primed_device(
-                readfile, [segment_file], kmersize, block_bases=block
+            counter = count_file_primed_device(
+                readfile, [segment_file], kmersize, block_bases=block,
+                shard=shard,
             )
-        return ExactKmerCounter.count_file_primed(
-            readfile, [segment_file], kmersize, n_threads=nr_threads
-        )
+        else:
+            counter = ExactKmerCounter.count_file_primed(
+                readfile, [segment_file], kmersize, n_threads=nr_threads,
+                shard=shard,
+            )
+        if shard is not None:
+            counter.counts = dist.allreduce_sum(counter.counts)
+        return counter
     return ExactKmerCounter.count_file(readfile, kmersize)
 
 
@@ -403,26 +430,48 @@ def _genotyping_block(
         _log(f"Sampled {len(phasing_paths)} paths to be used for phasing.")
 
     _log("Construct HMM and run core algorithm ...")
+    from .parallel import distributed as dist
+
     t = time.monotonic()
     dtype = _hmm_dtype()
-    all_runs: List[tuple] = []
+    # the (chromosome x path-subset) grid as an explicit work list; under
+    # multi-host execution it is partitioned round-robin across processes
+    # (each process drives its local chips) and the per-variant results
+    # are gathered to the coordinator — the DCN analogue of the
+    # reference's result mutex (src/commands.cpp:163-185)
+    run_specs: List[tuple] = []  # (chromosome, genotyping?, paths)
     for chromosome in chromosomes:
-        records = unique_kmers_list.unique_kmers[chromosome]
-        # chromosome-level densification shared by every path-subset run
-        dense = densify_records(records, probabilities) if records else None
         if not only_genotyping:
-            all_runs.append((chromosome, PairHMM(
-                records, probabilities, False, True, recombrate,
-                False, effective_N, phasing_paths, normalize=False,
-                dtype=dtype, defer=True, dense=dense,
-            )))
+            run_specs.append((chromosome, False, phasing_paths))
         if not only_phasing:
             for subset in subsets:
-                all_runs.append((chromosome, PairHMM(
-                    records, probabilities, True, False, recombrate,
-                    False, effective_N, subset, normalize=False,
-                    dtype=dtype, defer=True, dense=dense,
-                )))
+                run_specs.append((chromosome, True, subset))
+    local_indices = dist.partition(len(run_specs))
+    if dist.process_count() > 1:
+        _log(
+            f"  multi-host: process {dist.process_index()}/"
+            f"{dist.process_count()} runs {len(local_indices)}/"
+            f"{len(run_specs)} HMM work items"
+        )
+
+    all_runs: List[tuple] = []
+    base_index: Dict[str, int] = {}  # chromosome -> min global run index
+    dense_cache: Dict[str, object] = {}
+    for idx in local_indices:
+        chromosome, is_genotyping, paths = run_specs[idx]
+        records = unique_kmers_list.unique_kmers[chromosome]
+        if chromosome not in dense_cache:
+            # chromosome-level densification shared by every subset run
+            dense_cache[chromosome] = (
+                densify_records(records, probabilities) if records else None
+            )
+        base_index.setdefault(chromosome, idx)
+        all_runs.append((chromosome, PairHMM(
+            records, probabilities, is_genotyping, not is_genotyping,
+            recombrate, False, effective_N, paths, normalize=False,
+            dtype=dtype, defer=True, dense=dense_cache[chromosome],
+        )))
+    del dense_cache
     # the (chromosome x subset) grid executes as batched device scans;
     # PANGENIE_TPU_PROFILE=<dir> wraps it in a jax.profiler trace
     profile_dir = os.environ.get("PANGENIE_TPU_PROFILE")
@@ -447,11 +496,44 @@ def _genotyping_block(
         results.runtimes[chromosome] = (
             results.runtimes.get(chromosome, 0.0) + hmm.runtime
         )
+
+    if dist.process_count() > 1:
+        # gather partial per-chromosome results to the coordinator. The
+        # partial whose first run has the globally smallest index becomes
+        # the stored list (preserving the single-process move-first
+        # semantics: the phasing run's haplotypes live in that partial);
+        # the remaining partials' likelihoods are combined in (the
+        # combine is a commutative sum, src/genotypingresult.cpp).
+        gathered = dist.gather_objects(
+            (results.result, results.runtimes, base_index)
+        )
+        results.result = {}
+        runtimes = dict(results.runtimes)
+        if gathered is not None:
+            partials = sorted(
+                (bases[chrom], chrom, part_result[chrom])
+                for part_result, _, bases in gathered
+                for chrom in part_result
+            )
+            merged: Dict[str, List[GenotypeLikelihoods]] = {}
+            for _, chrom, part in partials:
+                if chrom not in merged:
+                    merged[chrom] = part
+                else:
+                    stored = merged[chrom]
+                    for i, likelihoods in enumerate(part):
+                        stored[i].combine(likelihoods)
+            results.result = merged
+            runtimes = {}
+            for _, part_runtimes, _ in gathered:
+                for key, value in part_runtimes.items():
+                    runtimes[key] = runtimes.get(key, 0.0) + value
+        results.runtimes = runtimes
     results.runtimes["all"] = time.monotonic() - t
 
     if not only_phasing:
         for chromosome in chromosomes:
-            for g in results.result[chromosome]:
+            for g in results.result.get(chromosome, ()):
                 g.normalize()
 
     if output_panel:
@@ -476,6 +558,10 @@ def _write_outputs(
     chrom_to_sampled: Dict[str, List[SampledPanel]],
     serialize_output: bool,
 ) -> None:
+    from .parallel import distributed as dist
+
+    if not dist.is_coordinator():
+        return  # results were gathered to the coordinator, which writes
     if serialize_output:
         _log("Serialize results ... ")
         _save(results, outname + "_genotyping.pkl")
@@ -572,7 +658,7 @@ def run_genotype_command(
     summary.phase("counting kmers in reads")
 
     kmer_abundance_peak = read_kmer_counts.compute_histogram(
-        10000, count_only_graph, outname + "_histogram.histo"
+        10000, count_only_graph, _coordinator_file(outname + "_histogram.histo")
     )
     _log(f"Computed kmer abundance peak: {kmer_abundance_peak}")
 
@@ -602,7 +688,9 @@ def run_genotype_command(
         for chromosome in chromosomes:
             output_paths = ""
             if output_panel:
-                output_paths = f"{outname}_paths_{chromosome}.tsv"
+                output_paths = _coordinator_file(
+                    f"{outname}_paths_{chromosome}.tsv"
+                )
             HaplotypeSampler(
                 unique_kmers_list.unique_kmers[chromosome], panel_size,
                 recombrate, sampling_effective_N, None,
@@ -669,6 +757,12 @@ def run_single_command(
     results = Results()
     chrom_to_sampled: Dict[str, List[SampledPanel]] = {}
     segment_file = outname + "_path_segments.fasta"
+    from .parallel import distributed as dist
+
+    if not dist.is_coordinator():
+        # every process rebuilds the (deterministic) panel in memory but
+        # only the coordinator owns the shared-FS artifact names
+        segment_file += f".proc{dist.process_index()}"
 
     unique_kmers_list = UniqueKmersMap(kmersize=kmersize, add_reference=add_reference)
 
@@ -693,7 +787,7 @@ def run_single_command(
     )
 
     kmer_abundance_peak = read_kmer_counts.compute_histogram(
-        10000, count_only_graph, outname + "_histogram.histo"
+        10000, count_only_graph, _coordinator_file(outname + "_histogram.histo")
     )
     _log(f"Computed kmer abundance peak: {kmer_abundance_peak}")
 
@@ -707,8 +801,11 @@ def run_single_command(
     # serialize graphs so they can be re-loaded for output writing after
     # streaming deletion (reference src/commands.cpp:343-347)
     _log("Serialize Graph objects ...")
-    for chromosome in chromosomes:
-        _save(builder.graphs[chromosome], f"{outname}_{chromosome}_Graph.pkl")
+    if dist.is_coordinator():
+        for chromosome in chromosomes:
+            _save(
+                builder.graphs[chromosome], f"{outname}_{chromosome}_Graph.pkl"
+            )
 
     _log("Determine unique kmers ...")
     for chromosome in chromosomes:
@@ -722,7 +819,9 @@ def run_single_command(
         unique_kmers_list.unique_kmers[chromosome] = records
         output_paths = ""
         if output_panel:
-            output_paths = f"{outname}_paths_{chromosome}.tsv"
+            output_paths = _coordinator_file(
+                    f"{outname}_paths_{chromosome}.tsv"
+                )
         HaplotypeSampler(
             records, panel_size, recombrate, sampling_effective_N, None,
             add_reference, output_paths, chromosome, allele_penalty,
@@ -828,7 +927,7 @@ def run_sampling(
         nr_jellyfish_threads, hash_size,
     )
     kmer_abundance_peak = read_kmer_counts.compute_histogram(
-        10000, count_only_graph, outname + "_histogram.histo"
+        10000, count_only_graph, _coordinator_file(outname + "_histogram.histo")
     )
     probabilities = ProbabilityTable(
         kmer_abundance_peak // 4,

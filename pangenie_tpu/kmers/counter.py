@@ -135,12 +135,15 @@ class ExactKmerCounter(KmerCounter):
     @classmethod
     def count_file_primed(
         cls, read_file: str, corpus_files: Sequence[str], k: int,
-        n_threads: int = 0,
+        n_threads: int = 0, shard=None,
     ) -> "ExactKmerCounter":
         """PRIME+UPDATE mode: track only k-mers present in the corpus.
 
         ``n_threads`` is the reference's `-j` jellyfish thread count
-        (0 = all cores). (reference src/jellyfishcounter.cpp:51-85)
+        (0 = all cores). ``shard=(process index, process count)``
+        restricts the stream to every n-th read for multi-host runs —
+        the caller sums the count vectors across processes
+        (parallel/distributed.py). (reference src/jellyfishcounter.cpp:51-85)
         """
         corpus_kmers = []
         for f in corpus_files:
@@ -156,9 +159,11 @@ class ExactKmerCounter(KmerCounter):
             if native.available():
                 hash_index = native.KmerHashIndex(keys)
             # stream reads in blocks; native extraction + accumulation
+            from ..parallel.distributed import shard_sequences
+
             block: List[bytes] = []
             block_bases = 0
-            for seq in iter_sequences(read_file):
+            for seq in shard_sequences(iter_sequences(read_file), shard):
                 block.append(seq)
                 block_bases += len(seq)
                 if block_bases >= 32 * 1024 * 1024:

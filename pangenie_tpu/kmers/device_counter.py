@@ -558,6 +558,7 @@ def count_file_primed_device(
     corpus_files,
     k: int,
     block_bases: int = 32 << 20,
+    shard=None,
 ) -> "ExactKmerCounter":  # noqa: F821 (forward ref, see import below)
     """PRIME+UPDATE counting of a read file on the device.
 
@@ -578,6 +579,9 @@ def count_file_primed_device(
     reference's jellyfish hash size `-e` (src/jellyfishcounter.cpp:29-36):
     the count table itself is O(graph kmers) regardless of read volume;
     the streaming buffer is what scales with it.
+
+    ``shard=(process index, process count)`` restricts the stream to
+    every n-th read for multi-host runs (parallel/distributed.py).
 
     Returns an ExactKmerCounter with the SAME key set and counts the
     host primed counter produces (zero-count graph keys included).
@@ -617,7 +621,9 @@ def count_file_primed_device(
         packed = pack_codes_2bit(codes)
         counter.update_packed_batch(packed[0], packed[1], L)
 
-    for seq in iter_sequences(read_file):
+    from ..parallel.distributed import shard_sequences
+
+    for seq in shard_sequences(iter_sequences(read_file), shard):
         if len(seq) < k:
             continue
         L = bucket_of(len(seq))
