@@ -1,10 +1,24 @@
-"""Benchmark: HMM variant-columns/sec/chip (the genotyper's hot loop).
+"""Driver benchmark: three JSON lines covering the pipeline's metrics.
 
-Runs the batched forward-backward pair-HMM scan (float32 production
-path) on a synthetic workload shaped like a real genotyping run
-(P=32 paths after panel reduction, K=16 kmers/column, B=128 concurrent
-(chromosome-block x path-subset) work items — a whole-genome run keeps
-hundreds in flight) and prints ONE JSON line.
+Line 1  kmer_count_device_primed_mbps — the genotype-phase read-counting
+        engine (PRIME+UPDATE streaming against a fixed graph-kmer table,
+        kmers/device_counter.py) on a synthetic-genome workload.
+        vs_baseline: the reference's only end-to-end number implies its
+        Jellyfish phase streams ~90 Gbp of 30x reads inside the 55-min
+        24-core genotyping wall (BASELINE.md) => >=27.3 Mbp/s.
+
+Line 2  e2e_genotype_variants_per_sec — a full simulated genotyping run
+        (graph build, counting, unique-kmer selection, HMM, VCF write)
+        via run_single_command, measured in genotyped variants/sec
+        including XLA compiles. vs_baseline: the reference genotypes
+        36M variants in 55 min on 24 cores => 10,909 variants/sec.
+
+Line 3  hmm_variant_columns_per_sec_per_chip — the HMM hot loop
+        (batched f32 forward-backward pair-HMM), same shape and sync
+        discipline as round 1 so the numbers stay comparable.
+        vs_baseline: columns/sec against the reference's implied
+        10,909 end-to-end columns/sec (upper-bound-flavored: this
+        covers the dominant compute phase only).
 
 Timing honesty: on the tunneled TPU backend, ``block_until_ready`` can
 return before the device has executed anything, and repeated identical
@@ -12,20 +26,17 @@ dispatches may be deduplicated. Every timed run therefore (a) uses a
 DISTINCT input buffer and (b) is synced by a device-side reduction of
 its outputs whose scalar is copied to the host — the copy cannot
 complete before the run has.
-
-vs_baseline: the reference genotypes 36M variants in 55 min on 24 CPU
-cores (BASELINE.md) ≈ 10,909 variant-columns/sec end-to-end — the only
-published throughput number. Our metric covers the HMM phase (the
-dominant compute), so vs_baseline = columns_per_sec / 10909 is an
-upper-bound-flavored comparison; the end-to-end benchmark configs in
-BASELINE.json land in later rounds.
 """
 
 import json
+import os
 import sys
+import tempfile
 import time
+import traceback
 
-BASELINE_COLUMNS_PER_SEC = 36_000_000 / (55 * 60)
+BASELINE_COLUMNS_PER_SEC = 36_000_000 / (55 * 60)  # reference README.md:254
+BASELINE_KMER_MBPS = 90_000 / (55 * 60)  # 30x human reads in the same wall
 
 
 def _ensure_backend() -> None:
@@ -47,7 +58,115 @@ def _ensure_backend() -> None:
     print("WARNING: benchmarking on CPU fallback", file=sys.stderr)
 
 
-def main() -> None:
+def bench_kmers() -> None:
+    """Device PRIME+UPDATE counting rate on genome-derived reads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pangenie_tpu.kmers.counter import ExactKmerCounter
+    from pangenie_tpu.kmers.device_counter import (
+        PrimedDeviceCounter, pack_codes_2bit,
+    )
+
+    K, GENOME_MBP, READ_LEN, COVERAGE, BATCH = 31, 4, 128, 8, 65_536
+    rng = np.random.default_rng(0)
+    genome = rng.integers(0, 4, size=GENOME_MBP * 1_000_000).astype(np.uint8)
+    n_reads = GENOME_MBP * 1_000_000 * COVERAGE // READ_LEN
+    starts = rng.integers(0, len(genome) - READ_LEN, size=n_reads)
+    reads = genome[starts[:, None] + np.arange(READ_LEN)[None, :]]
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    keys = np.unique(ExactKmerCounter._extract_canonical(
+        [lut[genome].tobytes()], K
+    ))
+
+    n_batches = reads.shape[0] // BATCH
+    packed = [
+        pack_codes_2bit(reads[b * BATCH:(b + 1) * BATCH])
+        for b in range(n_batches)
+    ]
+    mbp = n_batches * BATCH * READ_LEN / 1e6
+
+    def run():
+        counter = PrimedDeviceCounter(K, keys)
+        for words, vwords in packed:
+            counter.update_packed_batch(words, vwords, READ_LEN)
+        # device-side reduce + scalar host copy = true completion sync
+        float(np.asarray(jnp.sum(counter._counts)))
+        return counter
+
+    run()  # compile + warm up
+    best = float("inf")
+    for _ in range(2):
+        start = time.perf_counter()
+        counter = run()
+        best = min(best, time.perf_counter() - start)
+    _, counts = counter.to_host_arrays()
+    assert counts.sum() > 0
+    value = mbp / best
+    print(json.dumps({
+        "metric": "kmer_count_device_primed_mbps",
+        "value": round(value, 1),
+        "unit": "Mbp/s",
+        "graph_kmers": int(len(keys)),
+        "backend": jax.devices()[0].platform,
+        "vs_baseline": round(value / BASELINE_KMER_MBPS, 3),
+    }), flush=True)
+
+
+def bench_e2e() -> None:
+    """Full simulated genotyping run: variants/sec end-to-end."""
+    import numpy as np
+
+    from pangenie_tpu.commands import run_single_command
+    from pangenie_tpu.eval.concordance import genotype_concordance
+    from pangenie_tpu.utils import simulate as sim
+
+    length, samples, coverage, read_len = 1_000_000, 22, 25.0, 150
+    workdir = tempfile.mkdtemp(prefix="pangenie_bench_")
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        rng = np.random.default_rng(7)
+        reference = sim.random_reference(length, rng)
+        variants = sim.simulate_panel(reference, nr_samples=samples, rng=rng)
+        sim.write_inputs(".", reference, variants)
+        hap1, hap2 = sim.haplotype_sequences(reference, variants, 0)
+        sim.simulate_reads(hap1, hap2, coverage, read_len, rng,
+                           outfile="reads.fa")
+        with open("truth.vcf", "w") as out:
+            out.write(
+                "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\t"
+                "FILTER\tINFO\tFORMAT\tS\n"
+            )
+            for v in variants:
+                a, b = sorted(v.genotypes[0])
+                out.write(
+                    f"chr1\t{v.position + 1}\t.\t{v.ref.decode()}\t"
+                    f"{','.join(x.decode() for x in v.alts)}\t.\tPASS\t.\t"
+                    f"GT\t{a}/{b}\n"
+                )
+        t0 = time.monotonic()
+        run_single_command("reads.fa", "ref.fa", "panel.vcf", 31, "out")
+        wall = time.monotonic() - t0
+        result = genotype_concordance("out_genotyping.vcf", "truth.vcf")
+        value = result.total / wall
+        print(json.dumps({
+            "metric": "e2e_genotype_variants_per_sec",
+            "value": round(value, 1),
+            "unit": "variants/s",
+            "wall_s": round(wall, 2),
+            "variants": result.total,
+            "length_bp": length,
+            "paths": 2 * samples + 1,
+            "concordance": round(result.concordance, 5),
+            "vs_baseline": round(value / BASELINE_COLUMNS_PER_SEC, 3),
+        }), flush=True)
+    finally:
+        os.chdir(cwd)
+
+
+def bench_hmm() -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -55,7 +174,6 @@ def main() -> None:
     from pangenie_tpu.hmm.batch import forward_backward_batch
     from pangenie_tpu.utils.synthetic import synthetic_columns
 
-    _ensure_backend()
     B, N, P, K = 128, 4096, 32, 16
 
     def make(seed):
@@ -85,18 +203,30 @@ def main() -> None:
     elapsed = min(times)
 
     columns_per_sec = B * N / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "hmm_variant_columns_per_sec_per_chip",
-                "value": round(columns_per_sec, 1),
-                "unit": "columns/s",
-                "vs_baseline": round(
-                    columns_per_sec / BASELINE_COLUMNS_PER_SEC, 3
-                ),
-            }
-        )
-    )
+    print(json.dumps({
+        "metric": "hmm_variant_columns_per_sec_per_chip",
+        "value": round(columns_per_sec, 1),
+        "unit": "columns/s",
+        "vs_baseline": round(columns_per_sec / BASELINE_COLUMNS_PER_SEC, 3),
+    }), flush=True)
+
+
+def main() -> None:
+    _ensure_backend()
+    which = set(sys.argv[1:]) or {"kmers", "e2e", "hmm"}
+    # hmm last: the driver's primary parsed metric, comparable to r01
+    for name, fn in (("kmers", bench_kmers), ("e2e", bench_e2e),
+                     ("hmm", bench_hmm)):
+        if name not in which:
+            continue
+        try:
+            fn()
+        except Exception:
+            traceback.print_exc()
+            print(json.dumps({
+                "metric": f"bench_{name}_failed", "value": None,
+                "unit": "", "vs_baseline": None,
+            }), flush=True)
 
 
 if __name__ == "__main__":
