@@ -6,7 +6,7 @@ src/pangenie-sampling.cpp):
 
     pangenie-tpu index    -r ref.fa -v vars.vcf -o prefix [-k 31] [-e N]
     pangenie-tpu genotype -i reads.fa (-f prefix | -r ref.fa -v vars.vcf) -o out [...]
-    pangenie-tpu vcf      -f prefix -p results.pkl -o out [...]
+    pangenie-tpu vcf      -f prefix -z results.pkl -o out [...]
     pangenie-tpu sampling -i reads.fa -f prefix -o out -x size [...]
 
 Flag names follow the reference's single-letter options; defaults match
@@ -86,15 +86,18 @@ def main(argv=None) -> int:
     p_gt = sub.add_parser("genotype", help="genotype a sample")
     _add_genotype_args(p_gt)
 
+    # flag-for-flag with the reference (src/pangenie-vcf.cpp:31-38):
+    # -z serialized results, -f index prefix, -g/-p genotyping/phasing
     p_vcf = sub.add_parser("vcf", help="convert serialized results to VCF")
-    p_vcf.add_argument("-f", dest="precomputed_prefix", required=True)
-    p_vcf.add_argument("-p", dest="results_name", required=True,
-                       help="serialized results (produced via genotype -w)")
-    p_vcf.add_argument("-o", dest="outname", required=True)
+    p_vcf.add_argument("-z", dest="results_name", required=True,
+                       help="serialized genotyping results (produced by "
+                            "genotype run with parameter -w)")
+    p_vcf.add_argument("-f", dest="precomputed_prefix", required=True,
+                       help="filename prefix of the index files")
+    p_vcf.add_argument("-o", dest="outname", default="result")
     p_vcf.add_argument("-s", dest="sample_name", default="sample")
     p_vcf.add_argument("-g", dest="genotyping_flag", action="store_true")
-    p_vcf.add_argument("-p2", "--phasing", dest="phasing_flag",
-                       action="store_true")
+    p_vcf.add_argument("-p", dest="phasing_flag", action="store_true")
     p_vcf.add_argument("-u", dest="ignore_imputed", action="store_true")
 
     p_cc = sub.add_parser("concordance",

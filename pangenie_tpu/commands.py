@@ -777,14 +777,17 @@ def run_single_command(
         )
     chromosomes = builder.get_chromosomes()
     _log(f"Found {len(chromosomes)} chromosome(s) in the VCF.")
+    summary.phase("reading input files")
 
     _log("Count kmers in graph ...")
     genomic_kmer_counts = ExactKmerCounter.count_file(segment_file, kmersize)
+    summary.phase("counting kmers in graph")
 
     read_kmer_counts = _read_counter(
         readfile, segment_file, kmersize, count_only_graph,
         nr_jellyfish_threads, hash_size,
     )
+    summary.phase("counting kmers in reads")
 
     kmer_abundance_peak = read_kmer_counts.compute_histogram(
         10000, count_only_graph, _coordinator_file(outname + "_histogram.histo")
@@ -806,6 +809,7 @@ def run_single_command(
             _save(
                 builder.graphs[chromosome], f"{outname}_{chromosome}_Graph.pkl"
             )
+    summary.phase("writing Graph objects to disk")
 
     _log("Determine unique kmers ...")
     for chromosome in chromosomes:

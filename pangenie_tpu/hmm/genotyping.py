@@ -308,19 +308,29 @@ class PairHMM:
 
     def _scatter_haplotypes(self, states: np.ndarray) -> None:
         columns = self.columns
+        N = columns.n_columns
+        if N == 0:
+            return
         P = columns.n_paths
-        for n in range(columns.n_columns):
-            state = int(states[n])
-            p1, p2 = state // P, state % P
-            allele1 = int(columns.alleles[n, p1])
-            allele2 = int(columns.alleles[n, p2])
-            variant_id = int(columns.variant_ids[n])
-            self.genotyping_result[variant_id].haplotype_1 = allele1
-            self.genotyping_result[variant_id].haplotype_2 = allele2
-            # reference quirk: kmer count / coverage written at the
-            # COLUMN index, not the variant id (src/hmm.cpp:164-165)
-            self.genotyping_result[n].nr_unique_kmers = self.records[n].size()
-            self.genotyping_result[n].coverage = self.records[n].get_coverage()
+        # bulk index math on arrays; the remaining loop only assigns
+        # plain ints to result objects (no per-column numpy scalars)
+        states = np.asarray(states[:N], dtype=np.int64)
+        rows = np.arange(N)
+        allele1 = columns.alleles[rows, states // P].tolist()
+        allele2 = columns.alleles[rows, states % P].tolist()
+        variant_ids = columns.variant_ids.tolist()
+        results = self.genotyping_result
+        for n in range(N):
+            g = results[variant_ids[n]]
+            g.haplotype_1 = allele1[n]
+            g.haplotype_2 = allele2[n]
+        # reference quirk: kmer count / coverage written at the
+        # COLUMN index, not the variant id (src/hmm.cpp:164-165)
+        for n in range(N):
+            g = results[n]
+            record = self.records[n]
+            g.nr_unique_kmers = record.size()
+            g.coverage = record.get_coverage()
 
     # -- reference-parity accessors ----------------------------------------
 

@@ -447,19 +447,35 @@ class HaplotypeSampler:
 
     def _write_paths(self, path_output: str, chromosome: str) -> None:
         """Per-column sampled path/recombination TSV
-        (reference src/haplotypesampler.cpp:45-66)."""
+        (reference src/haplotypesampler.cpp:45-66).
+
+        Bulk-formatted: path ids, recombination flags and positions are
+        assembled as one [N, 1+2S] integer matrix, string-joined per row
+        and written in a single call (no per-column/per-path writes)."""
+        S = len(self.sampled_paths)
+        N = len(self.records)
+        header = "#chromosome\tposition" + "".join(
+            f"\tHaplotypeID_path{p}\tRecombination_path{p}" for p in range(S)
+        )
+        sampled = np.asarray(self.sampled_paths, dtype=np.int64)  # [S, N]
+        recomb = np.zeros_like(sampled)
+        if N > 1:
+            recomb[:, 1:] = (np.diff(sampled, axis=1) != 0).astype(np.int64)
+        body = np.empty((N, 1 + 2 * S), dtype=np.int64)
+        body[:, 0] = np.fromiter(
+            (r.get_variant_position() for r in self.records),
+            dtype=np.int64, count=N,
+        )
+        body[:, 1::2] = sampled.T
+        body[:, 2::2] = recomb.T
+        prefix = chromosome + "\t"
+        lines = [
+            prefix + "\t".join(map(str, row)) for row in body.tolist()
+        ]
         with open(path_output, "w") as out:
-            out.write("#chromosome\tposition")
-            for path_id in range(len(self.sampled_paths)):
-                out.write(
-                    f"\tHaplotypeID_path{path_id}\tRecombination_path{path_id}"
-                )
-            out.write("\n")
-            for n, record in enumerate(self.records):
-                out.write(f"{chromosome}\t{record.get_variant_position()}")
-                for path in self.sampled_paths:
-                    recomb = int(n > 0 and path[n - 1] != path[n])
-                    out.write(f"\t{path[n]}\t{recomb}")
+            out.write(header + "\n")
+            out.write("\n".join(lines))
+            if lines:
                 out.write("\n")
 
     def _update_unique_kmers(self) -> None:
