@@ -367,9 +367,32 @@ class PairHMM:
             groups.setdefault((key, hmm._run_genotyping, hmm._run_phasing,
                                hmm._uniform), []).append(hmm)
 
+        import os
+
+        n_devices = len(jax.devices())
         for (key, run_g, run_p, uniform), members in groups.items():
             if len(members) == 1:
                 members[0]._execute()
+                continue
+            if (
+                n_devices > 1
+                and not os.environ.get("PANGENIE_TPU_NO_LOCAL_SHARD")
+            ):
+                # single-process multi-chip: the work-item grid shards
+                # over the local devices (bit-identical per-item math;
+                # see run_grid_local_sharded)
+                from ..parallel.genotyping import run_grid_local_sharded
+
+                posteriors, log_corr, states = run_grid_local_sharded(
+                    [h.device_cols for h in members], run_g, run_p,
+                    uniform, n_devices,
+                )
+                if run_g:
+                    for i, hmm in enumerate(members):
+                        hmm._finish_genotyping(posteriors[i], log_corr[i])
+                if run_p:
+                    for i, hmm in enumerate(members):
+                        hmm._scatter_haplotypes(states[i])
                 continue
             stacked = jax.tree.map(
                 lambda *xs: jnp.stack(xs), *[h.device_cols for h in members]

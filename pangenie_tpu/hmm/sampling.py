@@ -491,6 +491,186 @@ class HaplotypeSampler:
         return self.sampled_paths
 
 
+class _ChromState:
+    """Dense per-chromosome sampling state for the batched driver."""
+
+    def __init__(self, chromosome: str, records: Sequence[UniqueKmersRecord],
+                 recombrate: float, effective_N: float):
+        self.chromosome = chromosome
+        self.records = records
+        self.N = len(records)
+        self.P = records[0].get_nr_paths()
+        self.costs = bulk_emission_costs(records)  # [N, A]
+        alleles = np.empty((self.N, self.P), dtype=np.int32)
+        for n, r in enumerate(records):
+            alleles[n] = r.path_to_allele
+        self.alleles = alleles
+        positions = np.fromiter(
+            (r.variant_position for r in records), dtype=np.int64,
+            count=self.N,
+        )
+        self.switch = np.zeros(self.N, dtype=np.uint32)
+        if self.N > 1:
+            LD = np.longdouble
+            distance = (
+                np.diff(positions).astype(LD)
+                * LD(0.000004) * LD(recombrate) * LD(effective_N)
+            )
+            recomb_prob = (LD(1.0) - np.exp(-distance / LD(self.P))) * (
+                LD(1.0) / LD(self.P)
+            )
+            self.switch[1:] = np.trunc(
+                -10.0 * np.log10(recomb_prob)
+            ).astype(np.uint32)
+        self.used = np.zeros((self.N, self.P), dtype=bool)
+        self.sampled_paths: List[List[int]] = []
+
+
+def sample_panels_batched(
+    chrom_records: "dict[str, Sequence[UniqueKmersRecord]]",
+    size: int,
+    recombrate: float = 1.26,
+    effective_N: float = 25000.0,
+    add_reference: bool = False,
+    path_outputs: "Optional[dict[str, str]]" = None,
+    allele_penalty: int = 10,
+    max_group_bytes: int = 2 << 30,
+) -> "dict[str, List[List[int]]]":
+    """HaplotypeSampler over several chromosomes as BATCHED device scans.
+
+    Chromosomes are independent, so each greedy iteration runs as ONE
+    vmapped min-plus Viterbi over a [C, N_max, P] batch instead of C
+    sequential dispatches — the production path for whole-genome
+    sampling (the reference dispatches one thread per chromosome,
+    src/commands.cpp:864-874; here the batch dim is the parallelism).
+
+    Chromosomes are padded to a group-wide column count with (cost 0 on
+    every path, all paths live, switch cost 0) columns. Such columns
+    collapse every state onto the REAL final column's first-minimum
+    state, reproducing the unpadded final-argmin tie-break exactly, and
+    add 0 to the score, so sampled paths and scores are bit-identical
+    to the sequential path (tested against HaplotypeSampler). Padded
+    columns are excluded from the mask/penalty updates between
+    iterations so they stay neutral.
+
+    Chromosomes longer than the segmented-scan threshold fall back to
+    the per-chromosome checkpointed path. Groups are capped at
+    ``max_group_bytes`` of [C, N, P] cost tensor per dispatch.
+
+    Updates every record's path set in place (as HaplotypeSampler does)
+    and returns {chromosome: sampled paths}.
+    """
+    path_outputs = path_outputs or {}
+    out: "dict[str, List[List[int]]]" = {}
+
+    states: List[_ChromState] = []
+    for chromosome, records in chrom_records.items():
+        if size < 1 or not len(records):
+            out[chromosome] = []
+            continue
+        st = _ChromState(chromosome, records, recombrate, effective_N)
+        states.append(st)
+
+    SEGMENT = 1 << 16
+    long_states = [s for s in states if s.N > SEGMENT]
+    states = [s for s in states if s.N <= SEGMENT]
+
+    # group chromosomes of similar length (padded N within 2x) under a
+    # device-memory cap
+    states.sort(key=lambda s: s.N)
+    groups: List[List[_ChromState]] = []
+    for st in states:
+        Npad = 1 << max(0, (st.N - 1).bit_length())
+        if groups:
+            cur = groups[-1]
+            cur_pad = 1 << max(0, (cur[0].N - 1).bit_length())
+            pad_target = max(cur_pad, Npad)
+            bytes_needed = (
+                (len(cur) + 1) * pad_target * st.P * 4
+            )
+            if (1 << max(0, (cur[-1].N - 1).bit_length())) == Npad and \
+                    bytes_needed <= max_group_bytes:
+                cur.append(st)
+                continue
+        groups.append([st])
+
+    batched_iter = jax.jit(jax.vmap(_viterbi_iteration))
+
+    for group in groups:
+        C = len(group)
+        N_max = max(s.N for s in group)
+        P = group[0].P
+        # padding columns: emission cost 0 on every path, all paths
+        # live, switch cost 1. The positive switch cost makes 'stay'
+        # strictly cheaper for every state already at the running
+        # minimum, so the real final column's FIRST-minimum state
+        # self-sustains through the padding and the padded final argmin
+        # lands exactly on it — reproducing the unpadded tie-break
+        # (switch cost 0 breaks ties differently: all-equal columns
+        # alternate backtraces and the entry state depends on padding
+        # parity).
+        switch = np.ones((C, N_max), dtype=np.uint32)
+        alleles = np.zeros((C, N_max, P), dtype=np.int32)
+        valid = np.zeros((C, N_max), dtype=bool)
+        for c, st in enumerate(group):
+            switch[c, : st.N] = st.switch
+            alleles[c, : st.N] = st.alleles
+            valid[c, : st.N] = True
+        switch_j = jnp.asarray(switch)
+        alleles_j = jnp.asarray(alleles)
+        rows = np.arange(N_max)
+
+        for _ in range(size):
+            # assemble [C, N_max, P] emission costs (0 in padding)
+            path_cost = np.zeros((C, N_max, P), dtype=np.uint32)
+            mask = np.ones((C, N_max, P), dtype=bool)
+            for c, st in enumerate(group):
+                path_cost[c, : st.N] = np.take_along_axis(
+                    st.costs, st.alleles, axis=1
+                )
+                mask[c, : st.N] = ~st.used
+            paths, _scores = batched_iter(
+                jnp.asarray(path_cost), jnp.asarray(mask), switch_j
+            )
+            paths = np.asarray(paths)  # [C, N_max]
+            for c, st in enumerate(group):
+                path = paths[c, : st.N]
+                st.sampled_paths.append(path.tolist())
+                rows_c = rows[: st.N]
+                st.used[rows_c, path] = True
+                chosen = st.alleles[rows_c, path]
+                pen = st.costs[rows_c, chosen] + allele_penalty
+                st.costs[rows_c, chosen] = np.where(pen > 25, 25, pen)
+
+    # long chromosomes: per-chromosome segmented scans
+    for st in long_states:
+        for _ in range(size):
+            host_cost = np.take_along_axis(st.costs, st.alleles, axis=1)
+            path, _score = _viterbi_iteration_segmented(
+                host_cost, ~st.used, st.switch, SEGMENT
+            )
+            path = np.asarray(path)
+            st.sampled_paths.append(path.tolist())
+            rows_c = np.arange(st.N)
+            st.used[rows_c, path] = True
+            chosen = st.alleles[rows_c, path]
+            pen = st.costs[rows_c, chosen] + allele_penalty
+            st.costs[rows_c, chosen] = np.where(pen > 25, 25, pen)
+
+    for st in states + long_states:
+        if add_reference:
+            st.sampled_paths.append([0] * st.N)
+        sampler = HaplotypeSampler.__new__(HaplotypeSampler)
+        sampler.records = st.records
+        sampler.sampled_paths = st.sampled_paths
+        output = path_outputs.get(st.chromosome, "")
+        if output:
+            sampler._write_paths(output, st.chromosome)
+        sampler._update_unique_kmers()
+        out[st.chromosome] = st.sampled_paths
+    return out
+
+
 def get_column_minima(
     column: np.ndarray, mask: np.ndarray
 ) -> Tuple[int, int, int, int]:

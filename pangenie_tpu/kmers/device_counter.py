@@ -503,31 +503,138 @@ def primed_update_merge(keys_hi, keys_lo, counts, codes, k: int):
     return counts + batch_counts[:n_g]
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _extract_tagged(codes: jax.Array, k: int):
+    """Canonical k-mers of a [B, L] code batch as TAGGED key pairs.
+
+    The (hi, lo) 2k-bit key is shifted left by one and tag bit 1 set in
+    the new LSB (2k+1 <= 63 bits for k <= 31), so a later lexicographic
+    sort orders by key first and graph-vs-read tag second WITHOUT a
+    third sort operand. Invalid windows become the all-ones sentinel
+    (max key, tag set) and sort to the top.
+    """
+    hi, lo, valid = extract_canonical(codes, k)
+    thi = (hi << jnp.uint32(1)) | (lo >> jnp.uint32(31))
+    tlo = (lo << jnp.uint32(1)) | jnp.uint32(1)
+    bad = jnp.uint32(0xFFFFFFFF)
+    thi = jnp.where(valid, thi, bad).ravel()
+    tlo = jnp.where(valid, tlo, bad).ravel()
+    return thi, tlo
+
+
+@partial(jax.jit, donate_argnums=(3, 4))
+def _append_tagged(thi, tlo, offset, buf_hi, buf_lo):
+    """Write one batch's tagged keys into the accumulation buffer."""
+    buf_hi = jax.lax.dynamic_update_slice(buf_hi, thi, (offset,))
+    buf_lo = jax.lax.dynamic_update_slice(buf_lo, tlo, (offset,))
+    return buf_hi, buf_lo
+
+
+@partial(jax.jit, donate_argnums=(2,))
+def _flush_tagged(ghi, glo, counts, buf_hi, buf_lo):
+    """Merge one accumulation buffer into the graph count table.
+
+    ONE lexicographic sort of [graph keys (tag 0) ++ buffered read
+    kmers (tag 1)] groups equal keys with the graph row FIRST in its
+    segment; the scatter-free prefix-sum segment count (weight = tag,
+    so graph rows weigh 0) then yields each graph key's occurrence
+    count at its row, and a stable partition by tag compacts the graph
+    rows — still in table order — to the front. Cost: one 2-operand
+    sort + one 2-operand 1-key sort over n_g + capacity elements,
+    amortizing the graph table over every batch in the buffer (the
+    per-batch merge re-sorted the graph keys for every 8 Mbp streamed —
+    VERDICT r02's 23 Mbp/s regression).
+    """
+    n_g = ghi.shape[0]
+    all_hi = jnp.concatenate([ghi, buf_hi])
+    all_lo = jnp.concatenate([glo, buf_lo])
+    shi, slo = jax.lax.sort((all_hi, all_lo), num_keys=2)
+    stag = (slo & jnp.uint32(1)).astype(jnp.int32)
+    klo = slo & jnp.uint32(0xFFFFFFFE)  # key bits without the tag
+    prev_hi = jnp.concatenate([shi[:1] ^ jnp.uint32(1), shi[:-1]])
+    prev_lo = jnp.concatenate([klo[:1], klo[:-1]])
+    is_start = (shi != prev_hi) | (klo != prev_lo)
+    is_end = jnp.concatenate([is_start[1:], jnp.ones(1, bool)])
+    csum = jnp.cumsum(stag)
+    big = jnp.iinfo(jnp.int32).max
+    end_csum = jnp.where(is_end, csum, big)
+    seg_end_csum = jax.lax.cummin(end_csum[::-1])[::-1]
+    prev_csum = jnp.concatenate([jnp.zeros(1, csum.dtype), csum[:-1]])
+    seg_counts = jnp.where(is_start, seg_end_csum - prev_csum, 0)
+    # stable partition by tag: graph rows form the prefix in key order
+    _, part_counts = jax.lax.sort((stag, seg_counts), num_keys=1)
+    return counts + part_counts[:n_g]
+
+
 class PrimedDeviceCounter:
     """Device PRIME+UPDATE counter: graph k-mers registered once as a
-    sorted (hi, lo) table, read batches streamed through sorted
-    merge-joins (:func:`primed_update_merge`). Fixed shapes per batch
-    size => one XLA compile; table memory stays O(graph kmers)
-    regardless of read volume — the device analogue of the reference's
-    memory-saving default mode."""
+    sorted tagged-key table; read batches accumulate into a large
+    device buffer and are folded into the counts by
+    :func:`_flush_tagged` when it fills. Fixed shapes per batch size
+    and one fixed flush shape => a handful of XLA compiles; table
+    memory stays O(graph kmers + capacity) regardless of read volume —
+    the device analogue of the reference's memory-saving default mode
+    (src/jellyfishcounter.cpp:51-85)."""
 
-    def __init__(self, k: int, keys: np.ndarray):
+    def __init__(self, k: int, keys: np.ndarray,
+                 capacity: Optional[int] = None):
         if not (1 <= k <= 31):
             raise ValueError("PrimedDeviceCounter supports k in [1, 31].")
         self.k = k
         keys = np.sort(np.asarray(keys, dtype=np.uint64))
-        hi = (keys >> np.uint64(32)).astype(np.uint32)
-        self._hi = jnp.asarray(hi)
-        self._lo = jnp.asarray((keys & np.uint64(MASK32)).astype(np.uint32))
+        if capacity is None:
+            # large enough to amortize the graph-table sort over many
+            # read batches, small enough that the flush sort workspace
+            # stays a modest slice of HBM (and CPU tests stay fast)
+            capacity = max(1 << 20, min(8 * max(1, len(keys)), 48 << 20))
+        # tagged graph keys (tag bit 0): (key << 1) split at bit 32
+        tagged = keys << np.uint64(1)
+        self._hi = jnp.asarray((tagged >> np.uint64(32)).astype(np.uint32))
+        self._lo = jnp.asarray((tagged & np.uint64(MASK32)).astype(np.uint32))
         self._counts = jnp.zeros(len(keys), jnp.int32)
         self._keys = keys
+        self._capacity = int(capacity)
+        self._fill = 0
+        self._buf_hi = None
+        self._buf_lo = None
+
+    def _reset_buffer(self) -> None:
+        bad = jnp.uint32(0xFFFFFFFF)
+        self._buf_hi = jnp.full(self._capacity, bad)
+        self._buf_lo = jnp.full(self._capacity, bad)
+        self._fill = 0
+
+    def _flush(self) -> None:
+        if self._buf_hi is None or self._fill == 0:
+            return
+        self._counts = _flush_tagged(
+            self._hi, self._lo, self._counts, self._buf_hi, self._buf_lo
+        )
+        self._buf_hi = None
+        self._buf_lo = None
+        self._fill = 0
+
+    def _add_tagged(self, thi, tlo) -> None:
+        n = thi.shape[0]
+        if n > self._capacity:
+            # batch larger than the buffer: grow to fit (rare; capacity
+            # is sized to hold many batches)
+            self._flush()
+            self._capacity = int(n)
+        if self._buf_hi is None:
+            self._reset_buffer()
+        if self._fill + n > self._capacity:
+            self._flush()
+            self._reset_buffer()
+        self._buf_hi, self._buf_lo = _append_tagged(
+            thi, tlo, self._fill, self._buf_hi, self._buf_lo
+        )
+        self._fill += n
 
     def update_batch(self, codes: np.ndarray) -> None:
         if not len(self._keys):
             return
-        self._counts = primed_update_merge(
-            self._hi, self._lo, self._counts, jnp.asarray(codes), self.k
-        )
+        self._add_tagged(*_extract_tagged(jnp.asarray(codes), self.k))
 
     def update_packed_batch(self, words: np.ndarray, vwords: np.ndarray,
                             length: int) -> None:
@@ -537,11 +644,10 @@ class PrimedDeviceCounter:
         codes = unpack_codes_2bit(
             jnp.asarray(words), jnp.asarray(vwords), length
         )
-        self._counts = primed_update_merge(
-            self._hi, self._lo, self._counts, codes, self.k
-        )
+        self._add_tagged(*_extract_tagged(codes, self.k))
 
     def to_host_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
+        self._flush()
         counts = np.asarray(self._counts).astype(np.int64)
         return self._keys, counts[: len(self._keys)]
 

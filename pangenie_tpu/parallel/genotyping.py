@@ -82,3 +82,80 @@ def shard_columns(mesh: Mesh, columns: ColumnArrays) -> ColumnArrays:
     """Place [S, B, ...] column arrays onto the mesh."""
     sharding = NamedSharding(mesh, P("subset", "batch"))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), columns)
+
+
+def sharded_viterbi(mesh: Mesh, columns: ColumnArrays, uniform: bool = False):
+    """Run a [1, B] grid of Viterbi problems sharded over 'batch'.
+
+    Phasing runs use a single path subset (S = 1); the batch dim (the
+    chromosome grid) shards over local chips exactly like the
+    forward-backward grid.
+
+    Returns states [B, N] (the max-plus backtrace state per column).
+    """
+    from ..hmm.viterbi import viterbi
+
+    in_spec = jax.tree.map(lambda _: P("subset", "batch"), columns)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(in_spec,),
+        out_specs=P("batch"),
+        check_vma=False,
+    )
+    def step(cols: ColumnArrays):
+        s_loc, b_loc = cols.alleles.shape[:2]
+        flat = jax.tree.map(
+            lambda x: x.reshape((s_loc * b_loc,) + x.shape[2:]), cols
+        )
+        states = jax.vmap(lambda c: viterbi(c, uniform=uniform))(flat)
+        return states.reshape((s_loc, b_loc) + states.shape[1:])[0]
+
+    return step(columns)
+
+
+def run_grid_local_sharded(members_cols, run_g: bool, run_p: bool,
+                           uniform: bool, n_devices: int):
+    """Execute a stacked [B, ...] HMM grid across the local chips.
+
+    The production analogue of the reference's thread pool over the
+    (chromosome x subset) grid (src/commands.cpp:955-978): work items
+    shard over a flat ('subset'=1, 'batch'=n) mesh of the process's
+    LOCAL devices; each device runs its share through the same batched
+    forward-backward/viterbi entry points, so results are bit-identical
+    to the single-device path (no cross-work-item math happens — the
+    subset axis has extent 1 and its psum is an identity).
+
+    Args:
+      members_cols: list of B per-work-item ColumnArrays (same shapes).
+      n_devices: number of local devices to use (>= 2).
+
+    Returns (posteriors [B, N, A, A] | None, log_corr [B, N] | None,
+             states [B, N] | None) as numpy arrays trimmed to B.
+    """
+    import numpy as np
+
+    B = len(members_cols)
+    n_use = min(n_devices, B)
+    Bp = (B + n_use - 1) // n_use * n_use
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *members_cols)
+    if Bp != B:
+        stacked = jax.tree.map(
+            lambda x: jnp.concatenate(
+                [x, jnp.repeat(x[:1], Bp - B, axis=0)]
+            ),
+            stacked,
+        )
+    mesh = Mesh(
+        np.array(jax.devices()[:n_use]).reshape(1, n_use),
+        ("subset", "batch"),
+    )
+    cols2 = shard_columns(mesh, jax.tree.map(lambda x: x[None], stacked))
+    posts = corr = states = None
+    if run_g:
+        p, c = sharded_forward_backward(mesh, cols2)
+        posts, corr = np.asarray(p)[:B], np.asarray(c)[:B]
+    if run_p:
+        states = np.asarray(sharded_viterbi(mesh, cols2, uniform))[:B]
+    return posts, corr, states
