@@ -294,6 +294,100 @@ void pg_stream_update_counts(
     }
 }
 
+// Parse one FASTA text chunk into concatenated sequence bytes +
+// cumulative per-sequence offsets. The chunk must start at a record
+// boundary ('>') and end at one (caller splits blocks on "\n>").
+// Newlines and '\r' are stripped; bases are passed through verbatim
+// (the code table downstream handles case and invalid characters).
+// data must hold n bytes, offsets one entry per '>' plus one.
+// Returns the number of sequences parsed.
+int64_t pg_parse_fasta_chunk(const uint8_t* text, int64_t n,
+                             uint8_t* data, int64_t* offsets) {
+    int64_t n_seqs = 0, dpos = 0, i = 0;
+    bool open = false;
+    offsets[0] = 0;
+    while (i < n) {
+        if (text[i] == '>') {
+            if (open) offsets[++n_seqs] = dpos;
+            while (i < n && text[i] != '\n') ++i;
+            ++i;
+            open = true;
+            continue;
+        }
+        int64_t line_start = i;
+        while (i < n && text[i] != '\n') ++i;
+        int64_t line_end = i;
+        if (line_end > line_start && text[line_end - 1] == '\r') --line_end;
+        memcpy(data + dpos, text + line_start, line_end - line_start);
+        dpos += line_end - line_start;
+        ++i;
+    }
+    if (open) offsets[++n_seqs] = dpos;
+    return n_seqs;
+}
+
+// pg_hash_stream_update restricted to sequences with
+// (base + s) % shard_n == shard_i — the multi-host read partition
+// applied inside the native loop (no per-read Python filtering).
+extern "C" void pg_hash_stream_update_sharded(
+    void* handle, const uint8_t* data, const int64_t* offsets,
+    int64_t n_seqs, int k, int64_t* counts, int n_threads,
+    int64_t shard_i, int64_t shard_n, int64_t base) {
+    const KmerHash* hash = static_cast<KmerHash*>(handle);
+    uint8_t code[256];
+    init_code_table(code);
+    const uint64_t kmask =
+        (k < 32) ? ((1ULL << (2 * k)) - 1ULL) : ~0ULL;
+
+    auto worker = [&](int64_t s_begin, int64_t s_end) {
+        for (int64_t s = s_begin; s < s_end; ++s) {
+            if (shard_n > 1 && ((base + s) % shard_n) != shard_i) continue;
+            const uint8_t* seq = data + offsets[s];
+            const int64_t len = offsets[s + 1] - offsets[s];
+            if (len < k) continue;
+            uint64_t fwd = 0;
+            int valid = 0;
+            for (int64_t i = 0; i < len; ++i) {
+                const uint8_t c = code[seq[i]];
+                if (c > 3) {
+                    valid = 0;
+                    fwd = 0;
+                    continue;
+                }
+                fwd = ((fwd << 2) | c) & kmask;
+                if (++valid >= k) {
+                    const uint64_t rc = revcomp(fwd, k);
+                    const int64_t slot = hash->find(fwd < rc ? fwd : rc);
+                    if (slot >= 0)
+                        __atomic_fetch_add(&counts[slot], 1,
+                                           __ATOMIC_RELAXED);
+                }
+            }
+        }
+    };
+
+    if (n_threads <= 1 || n_seqs < 64) {
+        worker(0, n_seqs);
+        return;
+    }
+    std::vector<std::thread> threads;
+    const int64_t chunk = (n_seqs + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        const int64_t b = t * chunk;
+        const int64_t e = std::min(n_seqs, b + chunk);
+        if (b >= e) break;
+        threads.emplace_back(worker, b, e);
+    }
+    for (auto& th : threads) th.join();
+}
+
+// Translate raw sequence bytes to base codes (A/a=0 .. T/t=3, else 4).
+void pg_encode_bases(const uint8_t* text, int64_t n, uint8_t* codes) {
+    uint8_t code[256];
+    init_code_table(code);
+    for (int64_t i = 0; i < n; ++i) codes[i] = code[text[i]];
+}
+
 // Pack [n_rows, L] base codes (0-3 valid, anything else invalid) into
 // 2-bit words (16 codes / uint32) plus a 1-bit validity mask
 // (32 codes / uint32) — the compact host->device transfer format.

@@ -683,20 +683,24 @@ def run_genotype_command(
     workers = max(1, min(nr_core_threads, len(chromosomes)))
     with ThreadPoolExecutor(max_workers=workers) as pool:
         list(pool.map(_fill, chromosomes))
-    # haplotype sampling (JAX scans) runs sequentially per chromosome
+    # haplotype sampling: all chromosomes batched into shared device
+    # scans (one dispatch per greedy iteration, not per chromosome)
     if panel_size > 0 or output_panel:
-        for chromosome in chromosomes:
-            output_paths = ""
-            if output_panel:
-                output_paths = _coordinator_file(
+        from .hmm.sampling import sample_panels_batched
+
+        path_outputs = {}
+        if output_panel:
+            path_outputs = {
+                chromosome: _coordinator_file(
                     f"{outname}_paths_{chromosome}.tsv"
                 )
-            HaplotypeSampler(
-                unique_kmers_list.unique_kmers[chromosome], panel_size,
-                recombrate, sampling_effective_N, None,
-                unique_kmers_list.add_reference, output_paths, chromosome,
-                allele_penalty,
-            )
+                for chromosome in chromosomes
+            }
+        sample_panels_batched(
+            {c: unique_kmers_list.unique_kmers[c] for c in chromosomes},
+            panel_size, recombrate, sampling_effective_N,
+            unique_kmers_list.add_reference, path_outputs, allele_penalty,
+        )
 
     summary.phase("updating unique kmers / sampling")
 
@@ -821,17 +825,25 @@ def run_single_command(
             probabilities, delete_processed_variants=True
         )
         unique_kmers_list.unique_kmers[chromosome] = records
-        output_paths = ""
+    summary.phase("determining unique kmers")
+
+    if panel_size > 0 or output_panel:
+        from .hmm.sampling import sample_panels_batched
+
+        path_outputs = {}
         if output_panel:
-            output_paths = _coordinator_file(
+            path_outputs = {
+                chromosome: _coordinator_file(
                     f"{outname}_paths_{chromosome}.tsv"
                 )
-        HaplotypeSampler(
-            records, panel_size, recombrate, sampling_effective_N, None,
-            add_reference, output_paths, chromosome, allele_penalty,
+                for chromosome in chromosomes
+            }
+        sample_panels_batched(
+            {c: unique_kmers_list.unique_kmers[c] for c in chromosomes},
+            panel_size, recombrate, sampling_effective_N, add_reference,
+            path_outputs, allele_penalty,
         )
-
-    summary.phase("determining unique kmers / sampling")
+    summary.phase("sampling haplotypes")
 
     _genotyping_block(
         chromosomes, unique_kmers_list, probabilities, results,

@@ -43,6 +43,7 @@ def iter_sequences(filename: str) -> Iterator[bytes]:
         if not first:
             return
         if first == ">":
+            fh.readline()  # rest of the first header line
             chunks: List[bytes] = []
             for line in fh:
                 line = line.strip()
@@ -71,6 +72,48 @@ def iter_sequences(filename: str) -> Iterator[bytes]:
                     return
         else:
             raise RuntimeError(f"iter_sequences: unrecognized format in {filename}")
+
+
+def try_sequence_blocks(filename: str, block_bytes: int = 64 << 20):
+    """Raw block FASTA streaming: yields (data bytes, cumulative
+    offsets) numpy arrays parsed by the native C++ chunk parser —
+    no per-read Python objects on the streaming path (a 3 GB 30x read
+    set costs ~1e7 Python string allocations through iter_sequences).
+
+    Returns None when the fast path does not apply (gzipped input,
+    FASTQ, or no native library); callers fall back to
+    :func:`iter_sequences`.
+    """
+    from . import native
+
+    if filename.endswith(".gz") or not native.available():
+        return None
+    try:
+        with open(filename, "rb") as fh:
+            first = fh.read(1)
+    except OSError:
+        return None
+    if first != b">":
+        return None
+
+    def gen():
+        with open(filename, "rb") as fh:
+            carry = b""
+            while True:
+                chunk = fh.read(block_bytes)
+                if not chunk:
+                    if carry:
+                        yield native.parse_fasta_chunk(carry)
+                    return
+                buf = carry + chunk
+                cut = buf.rfind(b"\n>")
+                if cut == -1:
+                    carry = buf  # record spans the block; keep growing
+                    continue
+                yield native.parse_fasta_chunk(buf[: cut + 1])
+                carry = buf[cut + 1:]
+
+    return gen()
 
 
 class KmerCounter:
@@ -158,6 +201,20 @@ class ExactKmerCounter(KmerCounter):
             hash_index = None
             if native.available():
                 hash_index = native.KmerHashIndex(keys)
+            raw_blocks = (
+                try_sequence_blocks(read_file)
+                if hash_index is not None else None
+            )
+            if raw_blocks is not None:
+                # fast path: native FASTA chunk parse + fused in-loop
+                # shard filter — zero Python work per read
+                base = 0
+                for data, offsets in raw_blocks:
+                    hash_index.stream_update_raw(
+                        data, offsets, k, counts, n_threads, shard, base
+                    )
+                    base += len(offsets) - 1
+                return cls(k, keys, counts)
             # stream reads in blocks; native extraction + accumulation
             from ..parallel.distributed import shard_sequences
 

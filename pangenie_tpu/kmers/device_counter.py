@@ -715,6 +715,58 @@ def count_file_primed_device(
             b *= 2
         return b
 
+    from . import native
+    from .counter import try_sequence_blocks
+
+    raw_blocks = try_sequence_blocks(read_file)
+    if raw_blocks is not None:
+        # fast path: native FASTA parse + bulk numpy bucketing — the
+        # host side only gathers/packs; all counting is on device
+        shard_i, shard_n = shard if shard is not None else (0, 1)
+        base = 0
+        for data, offsets in raw_blocks:
+            codes_flat = native.encode_bases_raw(data)
+            lens = np.diff(offsets)
+            starts = offsets[:-1]
+            n_here = len(lens)
+            keep = lens >= k
+            if shard_n > 1:
+                keep &= (base + np.arange(n_here)) % shard_n == shard_i
+            base += n_here
+            lens_k = lens[keep]
+            starts_k = starts[keep]
+            if not len(lens_k):
+                continue
+            shift = np.maximum(
+                0, np.ceil(np.log2(lens_k / min_bucket)).astype(np.int64)
+            )
+            buckets = np.int64(min_bucket) << shift
+            for L in np.unique(buckets):
+                rows = buckets == L
+                row_starts = starts_k[rows]
+                row_lens = lens_k[rows]
+                window = row_starts[:, None] + np.arange(int(L))[None, :]
+                oob = np.arange(int(L))[None, :] >= row_lens[:, None]
+                np.clip(window, 0, len(codes_flat) - 1, out=window)
+                batch = codes_flat[window]
+                batch[oob] = 4
+                # split oversized batches so device shapes stay bounded
+                rows_per = max(1, block_bases // int(L))
+                for lo in range(0, batch.shape[0], rows_per):
+                    part = batch[lo: lo + rows_per]
+                    if part.shape[0] < rows_per and lo > 0:
+                        pad = np.full(
+                            (rows_per - part.shape[0], int(L)), 4,
+                            dtype=np.uint8,
+                        )
+                        part = np.concatenate([part, pad])
+                    packed = pack_codes_2bit(part)
+                    counter.update_packed_batch(
+                        packed[0], packed[1], int(L)
+                    )
+        keys_out, counts = counter.to_host_arrays()
+        return ExactKmerCounter(k, keys_out, counts)
+
     pending: dict = {}  # L_bucket -> (rows list, fixed row count)
 
     def flush(L: int) -> None:

@@ -84,6 +84,16 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, u8p, i64p, ctypes.c_int64, ctypes.c_int,
             i64p, ctypes.c_int
         ]
+        lib.pg_hash_stream_update_sharded.restype = None
+        lib.pg_hash_stream_update_sharded.argtypes = [
+            ctypes.c_void_p, u8p, i64p, ctypes.c_int64, ctypes.c_int,
+            i64p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64,
+        ]
+        lib.pg_parse_fasta_chunk.restype = ctypes.c_int64
+        lib.pg_parse_fasta_chunk.argtypes = [u8p, ctypes.c_int64, u8p, i64p]
+        lib.pg_encode_bases.restype = None
+        lib.pg_encode_bases.argtypes = [u8p, ctypes.c_int64, u8p]
         _LIB = lib
         return _LIB
 
@@ -187,11 +197,70 @@ class KmerHashIndex:
             n_threads,
         )
 
+    def stream_update_raw(
+        self, data: np.ndarray, offsets: np.ndarray, k: int,
+        counts: np.ndarray, n_threads: int = 0,
+        shard=None, base: int = 0,
+    ) -> None:
+        """Block-path update: raw concatenated sequence bytes +
+        cumulative offsets (from parse_fasta_chunk), optional
+        ``shard=(i, n)`` read partition applied in the native loop."""
+        n_seqs = len(offsets) - 1
+        if n_seqs <= 0:
+            return
+        assert counts.dtype == np.int64
+        if n_threads <= 0:
+            n_threads = os.cpu_count() or 1
+        shard_i, shard_n = shard if shard is not None else (0, 1)
+        self._lib.pg_hash_stream_update_sharded(
+            self._handle,
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_seqs, k,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_threads, shard_i, shard_n, base,
+        )
+
     def __del__(self):
         handle = getattr(self, "_handle", None)
         if handle:
             self._lib.pg_hash_destroy(handle)
             self._handle = None
+
+
+def parse_fasta_chunk(chunk: bytes) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Parse a FASTA text chunk (starting and ending at record
+    boundaries) into (data bytes, cumulative offsets); None when the
+    native engine is unavailable."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    text = np.frombuffer(chunk, dtype=np.uint8)
+    n = len(text)
+    data = np.empty(max(1, n), dtype=np.uint8)
+    offsets = np.empty(chunk.count(b">") + 2, dtype=np.int64)
+    n_seqs = lib.pg_parse_fasta_chunk(
+        text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return data, offsets[: n_seqs + 1]
+
+
+def encode_bases_raw(data: np.ndarray) -> Optional[np.ndarray]:
+    """Raw sequence bytes -> base codes via the native table; None when
+    the native engine is unavailable."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(max(1, len(data)), dtype=np.uint8)
+    lib.pg_encode_bases(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out[: len(data)]
 
 
 def stream_update_counts(
