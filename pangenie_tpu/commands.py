@@ -104,14 +104,20 @@ def _hmm_dtype():
 
 
 def _use_device_counter() -> bool:
-    """Route read k-mer counting through the TPU engine when a TPU is
-    the default backend; PANGENIE_TPU_COUNTER=host|device overrides."""
+    """Route read k-mer counting through the TPU engine only on
+    explicit request (PANGENIE_TPU_COUNTER=device|tpu).
+
+    Production default is the host C++ engine: the pipeline's next
+    phase (TSV fill) consumes the counts host-side, and on
+    PCIe-attached or tunneled backends the full count-table readback
+    plus per-batch dispatch latency outweighs the device's sort
+    throughput. The device engine remains the right choice when counts
+    stay device-resident (multi-chip hash-partitioned mode) — and is
+    benchmarked as such (bench.py kmer line)."""
     env = os.environ.get("PANGENIE_TPU_COUNTER", "").lower()
-    if env in ("host", "cpu"):
-        return False
     if env in ("device", "tpu"):
         return True
-    return _default_platform() == "tpu"
+    return False
 
 
 def _log(msg: str) -> None:

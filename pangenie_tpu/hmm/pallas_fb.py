@@ -51,26 +51,46 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _expand_emission(ea_s, oh_s, P: int, A: int, dtype):
-    """ea_s [A*A, LB], oh_s [A, P, LB] -> E [P, P, LB] (A^2 FMAs)."""
+    """ea_s [A*A, LB], oh_s [A, P, LB] -> E [P, P, LB].
+
+    Two-stage expansion: per output-row allele a, first contract the
+    column axis (row_a[q] = sum_c ea[a,c] * oh[c][q], A cheap [P, LB]
+    FMAs), then one [P, P, LB] FMA spreads it over rows — 2A full-size
+    passes instead of the naive 3A^2 (at A=8: 16 vs 192)."""
     LB = ea_s.shape[-1]
     E = jnp.zeros((P, P, LB), dtype)
     for a in range(A):
-        oh_a = oh_s[a][:, None, :]           # [P, 1, LB]
+        row = jnp.zeros((P, LB), dtype)
         for c in range(A):
-            oh_c = oh_s[c][None, :, :]       # [1, P, LB]
-            term = ea_s[a * A + c: a * A + c + 1, :][None]  # [1, 1, LB]
-            E += oh_a * oh_c * term
+            row = row + oh_s[c] * ea_s[a * A + c: a * A + c + 1, :]
+        E = E + oh_s[a][:, None, :] * row[None, :, :]
     return E
 
 
-def _mix(carry, t0, t1, t2):
+def _mix(carry, u0, u1, u2):
+    """Rank-1 transition mix in FACTORED form.
+
+    prev = t0*c + t1*(h_i+h_j-2c) + t2*(h-h_i-h_j+c) regroups to
+    u0*c + u1*(h_i+h_j) + u2*h with u0 = t0-2*t1+t2, u1 = t1-t2,
+    u2 = t2 (precomputed outside the kernel by `_factor_trans`):
+    3 full-size FMA passes instead of 8. With u = (1, 0, 0) this is the
+    identity, which removes the per-column is-first select — the carry
+    is initialized to ones and u[0] set to (1, 0, 0)."""
     h_i = jnp.sum(carry, axis=1, keepdims=True)   # [P, 1, LB]
     h_j = jnp.sum(carry, axis=0, keepdims=True)   # [1, P, LB]
     h = jnp.sum(h_i, axis=0, keepdims=True)       # [1, 1, LB]
-    return (
-        t0 * carry
-        + t1 * (h_i + h_j - 2.0 * carry)
-        + t2 * (h - h_i - h_j + carry)
+    return u0 * carry + u1 * (h_i + h_j) + u2 * h
+
+
+def _factor_trans(trans):
+    """[..., 3] (t0, t1, t2) -> (u0, u1, u2) for :func:`_mix`, with the
+    first column pinned to the identity mix (1, 0, 0)."""
+    t0 = trans[..., 0]
+    t1 = trans[..., 1]
+    t2 = trans[..., 2]
+    u = jnp.stack([t0 - 2.0 * t1 + t2, t1 - t2, t2], axis=-1)
+    return u.at[..., 0, :].set(
+        jnp.asarray([1.0, 0.0, 0.0], u.dtype)
     )
 
 
@@ -104,12 +124,17 @@ def _fwd_kernel(ea_ref, oh_ref, tr_ref, alpha_ref, cfwd_ref, carry_ref,
     i_n = pl.program_id(1)
     dtype = carry_ref.dtype
 
+    # tr holds FACTORED coefficients (u0, u1, u2) with u[0] = (1, 0, 0):
+    # initializing the carry to ones makes the first column's mix the
+    # all-ones prev without a per-column select (src/hmm.cpp:236-239).
+    @pl.when(i_n == jnp.int32(0))
+    def _():
+        carry_ref[:] = jnp.ones_like(carry_ref)
+
     def body(s, carry):
         E = _expand_emission(ea_ref[s], oh_ref[s], P, A, dtype)
-        t0, t1, t2 = _trans_parts(tr_ref[s])
-        prev = _mix(carry, t0, t1, t2)
-        is_first = jnp.logical_and(i_n == jnp.int32(0), s == jnp.int32(0))
-        prev = jnp.where(is_first, jnp.ones_like(prev), prev)
+        u0, u1, u2 = _trans_parts(tr_ref[s])
+        prev = _mix(carry, u0, u1, u2)
         cur = prev * E
         alpha, c = _norm(cur, P)
         alpha_ref[s] = alpha
@@ -133,8 +158,8 @@ def _bwd_kernel(alpha_ref, cfwd_ref, ean_ref, ohn_ref, trn_ref, oh_ref,
         s = jnp.int32(S - 1) - r
         E_next = _expand_emission(ean_ref[s], ohn_ref[s], P, A, dtype)
         helper = beta * E_next
-        t0, t1, t2 = _trans_parts(trn_ref[s])
-        mixed = _mix(helper, t0, t1, t2)
+        u0, u1, u2 = _trans_parts(trn_ref[s])
+        mixed = _mix(helper, u0, u1, u2)
         is_last = last_ref[s][None] > 0          # [1, 1, LB]
         cur = jnp.where(is_last, jnp.ones_like(mixed), mixed)
         beta_new, _c = _norm(cur, P)
@@ -193,7 +218,7 @@ def forward_backward_batch_pallas(columns: ColumnArrays,
 
     ea_t = to_lanes(EA.reshape(B, N, A * A))           # [NP, A*A, LB]
     oh_t = to_lanes(jnp.swapaxes(oh, 2, 3))            # [NP, A, P, LB]
-    tr_t = to_lanes(columns.trans)                     # [NP, 3, LB]
+    tr_t = to_lanes(_factor_trans(columns.trans))      # [NP, 3, LB]
     last_t = to_lanes(columns.is_last.astype(dtype)[:, :, None])  # [NP,1,LB]
 
     nb_n = NP // S
@@ -282,14 +307,17 @@ def forward_backward_batch_pallas(columns: ColumnArrays,
 def _fwd_kernel_e(e_ref, tr_ref, alpha_ref, cfwd_ref, carry_ref,
                   *, S: int, P: int):
     i_n = pl.program_id(1)
-    dtype = carry_ref.dtype
+
+    # factored (u0, u1, u2) with u[0] = (1, 0, 0); ones carry replaces
+    # the per-column is-first select (see _fwd_kernel)
+    @pl.when(i_n == jnp.int32(0))
+    def _():
+        carry_ref[:] = jnp.ones_like(carry_ref)
 
     def body(s, carry):
         E = e_ref[s]
-        t0, t1, t2 = _trans_parts(tr_ref[s])
-        prev = _mix(carry, t0, t1, t2)
-        is_first = jnp.logical_and(i_n == jnp.int32(0), s == jnp.int32(0))
-        prev = jnp.where(is_first, jnp.ones_like(prev), prev)
+        u0, u1, u2 = _trans_parts(tr_ref[s])
+        prev = _mix(carry, u0, u1, u2)
         cur = prev * E
         alpha, c = _norm(cur, P)
         alpha_ref[s] = alpha
@@ -311,8 +339,8 @@ def _bwd_kernel_e(alpha_ref, cfwd_ref, en_ref, trn_ref, last_ref,
     def body(r, beta):
         s = jnp.int32(S - 1) - r
         helper = beta * en_ref[s]
-        t0, t1, t2 = _trans_parts(trn_ref[s])
-        mixed = _mix(helper, t0, t1, t2)
+        u0, u1, u2 = _trans_parts(trn_ref[s])
+        mixed = _mix(helper, u0, u1, u2)
         is_last = last_ref[s][None] > 0          # [1, 1, LB]
         cur = jnp.where(is_last, jnp.ones_like(mixed), mixed)
         beta_new, _c = _norm(cur, P)
@@ -532,7 +560,7 @@ def _fb_pallas_e_core(E_flat, trans, is_last, scale, P: int,
         return jnp.pad(x.astype(dtype), pad)
 
     e_t = to_lanes(E)                                   # [NP, P, P, LB]
-    tr_t = to_lanes(trans)                              # [NP, 3, LB]
+    tr_t = to_lanes(_factor_trans(trans))               # [NP, 3, LB]
     last_t = to_lanes(is_last.astype(dtype)[:, :, None])  # [NP, 1, LB]
 
     nb_n = NP // S

@@ -178,31 +178,70 @@ def simulate_reads(
     error_rate: float = 0.001,
     outfile: Optional[str] = None,
 ) -> List[bytes]:
-    """Uniform error-prone reads from the two haplotypes."""
+    """Uniform error-prone reads from the two haplotypes (vectorized:
+    window gather + bulk error/strand application, so genome-scale
+    read sets simulate in seconds rather than minutes)."""
     total_bases = int(coverage * (len(hap1) + len(hap2)) / 2)
     nr_reads = max(1, total_bases // read_length)
-    reads: List[bytes] = []
-    for _ in range(nr_reads):
-        hap = hap1 if rng.random() < 0.5 else hap2
-        if len(hap) <= read_length:
-            start = 0
-        else:
-            start = int(rng.integers(0, len(hap) - read_length))
-        read = np.frombuffer(hap[start : start + read_length], np.uint8).copy()
-        errors = rng.random(len(read)) < error_rate
-        if errors.any():
-            read[errors] = _BASES[rng.integers(0, 4, int(errors.sum()))]
-        if rng.random() < 0.5:  # random strand
-            comp = bytes(read).translate(
-                bytes.maketrans(b"ACGT", b"TGCA")
-            )[::-1]
-            reads.append(comp)
-        else:
-            reads.append(bytes(read))
+
+    if len(hap1) <= read_length or len(hap2) <= read_length:
+        # tiny-haplotype case (tests): per-read scalar path
+        reads: List[bytes] = []
+        for _ in range(nr_reads):
+            hap = hap1 if rng.random() < 0.5 else hap2
+            if len(hap) <= read_length:
+                start = 0
+            else:
+                start = int(rng.integers(0, len(hap) - read_length))
+            read = np.frombuffer(
+                hap[start: start + read_length], np.uint8
+            ).copy()
+            errors = rng.random(len(read)) < error_rate
+            if errors.any():
+                read[errors] = _BASES[rng.integers(0, 4, int(errors.sum()))]
+            if rng.random() < 0.5:
+                reads.append(
+                    bytes(read).translate(
+                        bytes.maketrans(b"ACGT", b"TGCA")
+                    )[::-1]
+                )
+            else:
+                reads.append(bytes(read))
+    else:
+        haps = [np.frombuffer(h, np.uint8) for h in (hap1, hap2)]
+        pick = rng.random(nr_reads) < 0.5
+        window = np.arange(read_length)[None, :]
+        arr = np.empty((nr_reads, read_length), np.uint8)
+        for h, mask in ((0, pick), (1, ~pick)):
+            n = int(mask.sum())
+            if n == 0:
+                continue
+            hap = haps[h]
+            starts = rng.integers(0, len(hap) - read_length, size=n)
+            arr[mask] = hap[starts[:, None] + window]
+        errors = rng.random(arr.shape) < error_rate
+        n_err = int(errors.sum())
+        if n_err:
+            arr[errors] = _BASES[rng.integers(0, 4, n_err)]
+        # reverse-complement a random half (vectorized translate+flip)
+        comp_lut = np.zeros(256, np.uint8)
+        comp_lut[np.frombuffer(b"ACGT", np.uint8)] = np.frombuffer(
+            b"TGCA", np.uint8
+        )
+        flip = rng.random(nr_reads) < 0.5
+        arr[flip] = comp_lut[arr[flip]][:, ::-1]
+        reads = [row.tobytes() for row in arr]
     if outfile:
         with open(outfile, "w") as out:
+            chunk: List[str] = []
             for i, read in enumerate(reads):
-                out.write(f">read{i}\n{read.decode()}\n")
+                chunk.append(f">read{i}\n")
+                chunk.append(read.decode())
+                chunk.append("\n")
+                if len(chunk) >= 30000:
+                    out.write("".join(chunk))
+                    chunk = []
+            out.write("".join(chunk))
     return reads
 
 
