@@ -220,22 +220,40 @@ def bench_hmm() -> None:
     # per-dispatch tunnel latency overlaps device compute.
     reps = 4
     inputs = [make(seed) for seed in range(reps + 1)]
-    float(np.asarray(device_sum(fb(inputs[-1]))))  # compile + warm up
 
-    best = float("inf")
-    for _ in range(2):
-        start = time.perf_counter()
-        results = [fb(inputs[seed]) for seed in range(reps)]
-        total = sum(device_sum(r) for r in results)
-        float(np.asarray(total))  # completion sync
-        best = min(best, time.perf_counter() - start)
-    elapsed = best / reps
+    def timed(fn):
+        float(np.asarray(device_sum(fn(inputs[-1]))))  # compile + warm
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            results = [fn(inputs[seed]) for seed in range(reps)]
+            total = sum(device_sum(r) for r in results)
+            float(np.asarray(total))  # completion sync
+            best = min(best, time.perf_counter() - start)
+        return best / reps
+
+    from pangenie_tpu.hmm import batch as hmm_batch
+
+    elapsed = timed(fb)
+    dispatch = hmm_batch.last_dispatch
+
+    # reference point: the portable XLA scan on the same inputs — the
+    # kernel-vs-scan comparison VERDICT r02 asked the artifact to carry
+    os.environ["PANGENIE_TPU_NO_PALLAS"] = "1"
+    try:
+        scan_elapsed = timed(jax.jit(forward_backward_batch))
+    finally:
+        del os.environ["PANGENIE_TPU_NO_PALLAS"]
 
     columns_per_sec = B * N / elapsed
     print(json.dumps({
         "metric": "hmm_variant_columns_per_sec_per_chip",
         "value": round(columns_per_sec, 1),
         "unit": "columns/s",
+        "dispatch": dispatch,
+        "kernel_ms_per_batch": round(elapsed * 1000, 1),
+        "xla_scan_ms_per_batch": round(scan_elapsed * 1000, 1),
+        "kernel_speedup_vs_scan": round(scan_elapsed / elapsed, 2),
         "vs_baseline": round(columns_per_sec / BASELINE_COLUMNS_PER_SEC, 3),
     }), flush=True)
 

@@ -103,21 +103,31 @@ def _hmm_dtype():
     return jnp.float32 if _default_platform() == "tpu" else jnp.float64
 
 
-def _use_device_counter() -> bool:
-    """Route read k-mer counting through the TPU engine only on
-    explicit request (PANGENIE_TPU_COUNTER=device|tpu).
+def _use_device_counter(readfile: str = "") -> bool:
+    """Route read k-mer counting through the TPU engine.
 
-    Production default is the host C++ engine: the pipeline's next
-    phase (TSV fill) consumes the counts host-side, and on
-    PCIe-attached or tunneled backends the full count-table readback
-    plus per-batch dispatch latency outweighs the device's sort
-    throughput. The device engine remains the right choice when counts
-    stay device-resident (multi-chip hash-partitioned mode) — and is
-    benchmarked as such (bench.py kmer line)."""
+    PANGENIE_TPU_COUNTER=device|tpu forces it, =host|cpu forbids it;
+    otherwise AUTO: the device engine engages on a real TPU backend
+    once the read volume (> ~200 Mbp) amortizes its fixed costs (graph
+    table transfer + count readback + compiles). Small inputs stay on
+    the host C++ engine, whose per-run overhead is near zero — the r2
+    lesson: TPU-routed must mean TPU-faster."""
     env = os.environ.get("PANGENIE_TPU_COUNTER", "").lower()
     if env in ("device", "tpu"):
         return True
-    return False
+    if env in ("host", "cpu"):
+        return False
+    try:
+        import jax
+
+        if jax.devices()[0].platform != "tpu":
+            return False
+    except Exception:
+        return False
+    try:
+        return os.path.getsize(readfile) > 200 * 1024 * 1024
+    except OSError:
+        return False
 
 
 def _log(msg: str) -> None:
@@ -150,6 +160,7 @@ def _read_counter(
     count_only_graph: bool,
     nr_threads: int = 1,
     hash_size: int = 3_000_000_000,
+    prime_keys=None,
 ) -> KmerCounter:
     from .parallel import distributed as dist
 
@@ -170,7 +181,7 @@ def _read_counter(
                 f"  multi-host: process {shard[0]}/{shard[1]} counts every "
                 f"{shard[1]}-th read"
             )
-        if _use_device_counter():
+        if _use_device_counter(readfile):
             from .kmers.device_counter import count_file_primed_device
 
             # the `-e` hash size bounds the streaming block (the table
@@ -180,12 +191,12 @@ def _read_counter(
             _log("  using device (TPU) PRIME+UPDATE counter")
             counter = count_file_primed_device(
                 readfile, [segment_file], kmersize, block_bases=block,
-                shard=shard,
+                shard=shard, keys=prime_keys,
             )
         else:
             counter = ExactKmerCounter.count_file_primed(
                 readfile, [segment_file], kmersize, n_threads=nr_threads,
-                shard=shard,
+                shard=shard, keys=prime_keys,
             )
         if shard is not None:
             counter.counts = dist.allreduce_sum(counter.counts)
@@ -488,6 +499,12 @@ def _genotyping_block(
             PairHMM.run_deferred([hmm for _, hmm in all_runs])
     else:
         PairHMM.run_deferred([hmm for _, hmm in all_runs])
+    if all_runs:
+        from .hmm import batch as hmm_batch
+
+        # surface which implementation the forward-backward actually
+        # used — a silently lost fast path must be visible in run logs
+        _log(f"  forward-backward dispatch: {hmm_batch.last_dispatch}")
     for chromosome, hmm in all_runs:
         if chromosome not in results.result:
             results.result[chromosome] = hmm.move_genotyping_result()
@@ -796,6 +813,9 @@ def run_single_command(
     read_kmer_counts = _read_counter(
         readfile, segment_file, kmersize, count_only_graph,
         nr_jellyfish_threads, hash_size,
+        prime_keys=(
+            genomic_kmer_counts.keys if count_only_graph else None
+        ),
     )
     summary.phase("counting kmers in reads")
 

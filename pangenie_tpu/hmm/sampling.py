@@ -491,6 +491,60 @@ class HaplotypeSampler:
         return self.sampled_paths
 
 
+@partial(jax.jit, static_argnames=("size", "allele_penalty"))
+def _sample_group(costs, alleles, switch, valid, size: int,
+                  allele_penalty: int):
+    """Device-resident batched greedy sampling.
+
+    Args:
+      costs: [C, N, A] uint32 initial per-allele emission costs.
+      alleles: [C, N, P] int32 path->allele.
+      switch: [C, N] uint32 per-column switch costs (1 in padding).
+      valid: [C, N] bool — False on padding columns (their mask and
+        penalty updates are suppressed so they stay neutral).
+      size: number of greedy iterations.
+
+    Returns: [size, C, N] int32 sampled path per iteration.
+
+    The whole loop runs as one XLA program: per iteration a vmapped
+    min-plus Viterbi picks a path per chromosome, then the chosen
+    paths are masked and their alleles penalized with broadcast
+    (scatter-free) updates — host<->device traffic is limited to the
+    inputs once and the final paths.
+    """
+    C, N, P = alleles.shape
+    p_iota = jnp.arange(P)
+
+    def iteration(carry, _):
+        costs, used = carry
+        path_cost = jnp.take_along_axis(costs, alleles, axis=2)
+        paths, _scores = jax.vmap(_viterbi_iteration)(
+            path_cost, ~used, switch
+        )
+        hit = (p_iota[None, None, :] == paths[:, :, None]) & valid[
+            :, :, None
+        ]
+        used = used | hit
+        chosen = jnp.take_along_axis(
+            alleles, paths[:, :, None], axis=2
+        )[:, :, 0]
+        sel = (
+            jnp.arange(costs.shape[2])[None, None, :]
+            == chosen[:, :, None]
+        ) & valid[:, :, None]
+        pen = jnp.minimum(
+            costs + jnp.uint32(allele_penalty), jnp.uint32(25)
+        )
+        costs = jnp.where(sel, pen, costs)
+        return (costs, used), paths
+
+    used0 = jnp.zeros((C, N, P), bool)
+    (_, _), all_paths = jax.lax.scan(
+        iteration, (costs, used0), None, length=size
+    )
+    return all_paths
+
+
 class _ChromState:
     """Dense per-chromosome sampling state for the batched driver."""
 
@@ -571,9 +625,15 @@ def sample_panels_batched(
         st = _ChromState(chromosome, records, recombrate, effective_N)
         states.append(st)
 
+    # full [N, P] backtraces live in HBM up to this budget; only truly
+    # chromosome-scale states (e.g. 5M columns) fall back to the
+    # checkpointed host-streaming scan
     SEGMENT = 1 << 16
-    long_states = [s for s in states if s.N > SEGMENT]
-    states = [s for s in states if s.N <= SEGMENT]
+    full_budget = 1 << 30
+    long_states = [
+        s for s in states if s.N * s.P * 4 > full_budget
+    ]
+    states = [s for s in states if s.N * s.P * 4 <= full_budget]
 
     # group chromosomes of similar length (padded N within 2x) under a
     # device-memory cap
@@ -594,12 +654,11 @@ def sample_panels_batched(
                 continue
         groups.append([st])
 
-    batched_iter = jax.jit(jax.vmap(_viterbi_iteration))
-
     for group in groups:
         C = len(group)
         N_max = max(s.N for s in group)
         P = group[0].P
+        A = max(s.costs.shape[1] for s in group)
         # padding columns: emission cost 0 on every path, all paths
         # live, switch cost 1. The positive switch cost makes 'stay'
         # strictly cheaper for every state already at the running
@@ -612,35 +671,26 @@ def sample_panels_batched(
         switch = np.ones((C, N_max), dtype=np.uint32)
         alleles = np.zeros((C, N_max, P), dtype=np.int32)
         valid = np.zeros((C, N_max), dtype=bool)
+        costs0 = np.zeros((C, N_max, A), dtype=np.uint32)
         for c, st in enumerate(group):
             switch[c, : st.N] = st.switch
             alleles[c, : st.N] = st.alleles
             valid[c, : st.N] = True
-        switch_j = jnp.asarray(switch)
-        alleles_j = jnp.asarray(alleles)
-        rows = np.arange(N_max)
+            costs0[c, : st.N, : st.costs.shape[1]] = st.costs
 
-        for _ in range(size):
-            # assemble [C, N_max, P] emission costs (0 in padding)
-            path_cost = np.zeros((C, N_max, P), dtype=np.uint32)
-            mask = np.ones((C, N_max, P), dtype=bool)
-            for c, st in enumerate(group):
-                path_cost[c, : st.N] = np.take_along_axis(
-                    st.costs, st.alleles, axis=1
-                )
-                mask[c, : st.N] = ~st.used
-            paths, _scores = batched_iter(
-                jnp.asarray(path_cost), jnp.asarray(mask), switch_j
-            )
-            paths = np.asarray(paths)  # [C, N_max]
-            for c, st in enumerate(group):
-                path = paths[c, : st.N]
-                st.sampled_paths.append(path.tolist())
-                rows_c = rows[: st.N]
-                st.used[rows_c, path] = True
-                chosen = st.alleles[rows_c, path]
-                pen = st.costs[rows_c, chosen] + allele_penalty
-                st.costs[rows_c, chosen] = np.where(pen > 25, 25, pen)
+        # the whole greedy loop runs device-resident: ONE dispatch per
+        # group, paths for every iteration read back together at the
+        # end. (The per-iteration variant re-transferred [C, N, P]
+        # cost + mask tensors each round — ~40 MB per iteration on
+        # genome-scale groups, the dominant wall of the r2 sampler.)
+        all_paths = _sample_group(
+            jnp.asarray(costs0), jnp.asarray(alleles), jnp.asarray(switch),
+            jnp.asarray(valid), size, int(allele_penalty),
+        )
+        all_paths = np.asarray(all_paths)  # [size, C, N_max]
+        for c, st in enumerate(group):
+            for it in range(size):
+                st.sampled_paths.append(all_paths[it, c, : st.N].tolist())
 
     # long chromosomes: per-chromosome segmented scans
     for st in long_states:

@@ -178,7 +178,7 @@ class ExactKmerCounter(KmerCounter):
     @classmethod
     def count_file_primed(
         cls, read_file: str, corpus_files: Sequence[str], k: int,
-        n_threads: int = 0, shard=None,
+        n_threads: int = 0, shard=None, keys: np.ndarray = None,
     ) -> "ExactKmerCounter":
         """PRIME+UPDATE mode: track only k-mers present in the corpus.
 
@@ -186,16 +186,21 @@ class ExactKmerCounter(KmerCounter):
         (0 = all cores). ``shard=(process index, process count)``
         restricts the stream to every n-th read for multi-host runs —
         the caller sums the count vectors across processes
-        (parallel/distributed.py). (reference src/jellyfishcounter.cpp:51-85)
+        (parallel/distributed.py). ``keys`` short-circuits the corpus
+        extraction when the caller already holds the graph-kmer table.
+        (reference src/jellyfishcounter.cpp:51-85)
         """
-        corpus_kmers = []
-        for f in corpus_files:
-            corpus_kmers.append(cls._extract_canonical(iter_sequences(f), k))
-        keys = np.unique(
-            np.concatenate(corpus_kmers)
-            if corpus_kmers
-            else np.empty(0, dtype=np.uint64)
-        )
+        if keys is None:
+            corpus_kmers = []
+            for f in corpus_files:
+                corpus_kmers.append(
+                    cls._extract_canonical(iter_sequences(f), k)
+                )
+            keys = np.unique(
+                np.concatenate(corpus_kmers)
+                if corpus_kmers
+                else np.empty(0, dtype=np.uint64)
+            )
         counts = np.zeros(len(keys), dtype=np.int64)
         if len(keys):
             hash_index = None

@@ -36,6 +36,11 @@ import numpy as np
 
 MASK32 = np.uint32(0xFFFFFFFF)
 
+# graph-table length -> flush sizes already compiled this process (the
+# jit cache is process-global; reusing a compiled size beats compiling
+# a new big-sort program by minutes on tunneled backends)
+_FLUSH_SIZES: dict = {}
+
 
 def pack_read_batch(
     seqs: List[bytes], length: Optional[int] = None
@@ -636,10 +641,12 @@ class PrimedDeviceCounter:
         if capacity is None:
             # large enough to amortize the graph-table sort over many
             # read batches, small enough that the flush sort workspace
-            # stays a modest slice of HBM (and CPU tests stay fast);
-            # flushes sort fill-sized slices, so a generous capacity
-            # costs HBM only (2 x 4 bytes per slot)
-            capacity = max(1 << 20, min(16 * max(1, len(keys)), 128 << 20))
+            # stays a modest slice of HBM (and CPU tests stay fast).
+            # Hard cap 64M: XLA compile time for the donated-buffer
+            # ingest/flush programs explodes pathologically beyond this
+            # (measured 637s first-call at a 128M buffer vs 4s at 64M
+            # on TPU v5e)
+            capacity = max(1 << 20, min(16 * max(1, len(keys)), 64 << 20))
         # tagged graph keys (tag bit 0): (key << 1) split at bit 32
         tagged = keys << np.uint64(1)
         self._hi = jnp.asarray((tagged >> np.uint64(32)).astype(np.uint32))
@@ -671,6 +678,18 @@ class PrimedDeviceCounter:
             step = size // 16
             size = ((self._fill + step - 1) // step) * step
         size = min(size, int(self._buf_hi.shape[0]))
+        # prefer a size this process has already compiled (same graph
+        # table length): XLA compile of a big-sort program costs minutes
+        # on some backends, far more than sorting a somewhat larger
+        # sentinel tail (typical case: the final partial flush reuses
+        # the steady full-buffer shape)
+        seen = _FLUSH_SIZES.setdefault(len(self._keys), set())
+        compiled = [
+            s for s in seen if size <= s <= int(self._buf_hi.shape[0])
+        ]
+        if compiled:
+            size = min(compiled)
+        seen.add(size)
         self._counts = _flush_tagged(
             self._hi, self._lo, self._counts, self._buf_hi, self._buf_lo,
             size=size,
@@ -757,6 +776,7 @@ def count_file_primed_device(
     k: int,
     block_bases: int = 32 << 20,
     shard=None,
+    keys: Optional[np.ndarray] = None,
 ) -> "ExactKmerCounter":  # noqa: F821 (forward ref, see import below)
     """PRIME+UPDATE counting of a read file on the device.
 
@@ -786,15 +806,19 @@ def count_file_primed_device(
     """
     from .counter import ExactKmerCounter, iter_sequences
 
-    corpus_kmers = [
-        ExactKmerCounter._extract_canonical(iter_sequences(f), k)
-        for f in corpus_files
-    ]
-    keys = np.unique(
-        np.concatenate(corpus_kmers)
-        if corpus_kmers
-        else np.empty(0, dtype=np.uint64)
-    )
+    if keys is None:
+        # ``keys`` short-circuits the corpus re-extraction when the
+        # caller already holds the graph-kmer table (run_single_command
+        # counts the corpus first; the key sets are identical)
+        corpus_kmers = [
+            ExactKmerCounter._extract_canonical(iter_sequences(f), k)
+            for f in corpus_files
+        ]
+        keys = np.unique(
+            np.concatenate(corpus_kmers)
+            if corpus_kmers
+            else np.empty(0, dtype=np.uint64)
+        )
     if not len(keys):
         return ExactKmerCounter(k, keys, np.zeros(0, dtype=np.int64))
 
@@ -802,9 +826,16 @@ def count_file_primed_device(
     min_bucket = 128
 
     def bucket_of(n: int) -> int:
+        # eighth-steps of powers of two: 150 bp reads land in a 152
+        # bucket, not 256 — padded windows ride through every sort as
+        # sentinels, so tight buckets halve the device work for
+        # Illumina-length reads
         b = min_bucket
         while b < n:
             b *= 2
+        if b > min_bucket:
+            step = b // 16
+            b = ((n + step - 1) // step) * step
         return b
 
     from . import native
@@ -832,7 +863,15 @@ def count_file_primed_device(
             shift = np.maximum(
                 0, np.ceil(np.log2(lens_k / min_bucket)).astype(np.int64)
             )
-            buckets = np.int64(min_bucket) << shift
+            pow2 = np.int64(min_bucket) << shift
+            # eighth-steps within each power-of-two octave (see
+            # bucket_of): tight buckets halve sentinel windows
+            step = np.maximum(pow2 // 16, 1)
+            buckets = np.where(
+                pow2 > min_bucket,
+                ((lens_k + step - 1) // step) * step,
+                pow2,
+            )
             for L in np.unique(buckets):
                 rows = buckets == L
                 row_starts = starts_k[rows]

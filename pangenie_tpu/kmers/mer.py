@@ -33,6 +33,7 @@ __all__ = [
     "pack_windows",
     "enumerate_valid_kmers",
     "rolling_kmers_with_final",
+    "flat_segment_kmers",
 ]
 
 
@@ -196,3 +197,62 @@ def unique_kmers_of_allele(seq: bytes, k: int) -> np.ndarray:
     emitted = rolling_kmers_with_final(seq, k)
     uniq, counts = np.unique(emitted, return_counts=True)
     return uniq[counts == 1]
+
+
+def flat_segment_kmers(seqs, k: int):
+    """:func:`rolling_kmers_with_final` over MANY sequences at once.
+
+    One encode + one :func:`pack_windows` over the concatenation of all
+    segments, instead of a numpy pipeline per allele — the per-bubble
+    enumeration was the genome-scale wall of unique-kmer selection.
+
+    Returns ``(kmers uint64, seg_ids int32)``: the emitted multiset of
+    every segment (body windows when N-free plus the final window
+    unconditionally), segment ids non-decreasing, kmers in window order
+    within each segment.
+    """
+    n = len(seqs)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int32)
+    lens = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=n)
+    if int(lens.min(initial=k)) < k:
+        # rare (alleles shorter than k appear only with tiny test k):
+        # route short segments through the scalar path
+        kmer_parts = []
+        seg_parts = []
+        long_idx = [i for i in range(n) if lens[i] >= k]
+        for i in range(n):
+            if lens[i] >= k:
+                continue
+            km = rolling_kmers_with_final(seqs[i], k)
+            kmer_parts.append(km)
+            seg_parts.append(np.full(len(km), i, np.int32))
+        if long_idx:
+            lk, ls = flat_segment_kmers([seqs[i] for i in long_idx], k)
+            kmer_parts.append(lk)
+            seg_parts.append(np.asarray(long_idx, np.int32)[ls])
+        kmers = np.concatenate(kmer_parts) if kmer_parts else np.empty(0, np.uint64)
+        segs = np.concatenate(seg_parts) if seg_parts else np.empty(0, np.int32)
+        order = np.argsort(segs, kind="stable")
+        return kmers[order], segs[order]
+
+    codes = encode_bases(b"".join(seqs))
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    packed = pack_windows(np.where(codes > 3, 3, codes), k)
+    invalid = (codes > 3).astype(np.int64)
+    csum = np.concatenate([[0], np.cumsum(invalid)])
+    window_has_n = (csum[k:] - csum[:-k]) > 0  # flat window validity
+
+    w = lens - k + 1  # windows per segment
+    W = int(w.sum())
+    w_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(w, out=w_off[1:])
+    seg_ids = np.repeat(np.arange(n, dtype=np.int32), w)
+    # flat window index of each in-segment window
+    idx = np.arange(W, dtype=np.int64) + np.repeat(
+        offsets[:-1] - w_off[:-1], w
+    )
+    emit = ~window_has_n[idx]
+    emit[w_off[1:] - 1] = True  # final window: unconditional
+    return packed[idx[emit]], seg_ids[emit]

@@ -330,6 +330,7 @@ def _select_kmers_with_counts(
     max(nr_paths, 301) in total. (reference src/uniquekmercomputer.cpp:45-92)
     """
     allele_to_kmers: Dict[int, List[int]] = {}
+    covered = set(variant.paths)  # alleles carried by >= 1 path
     # kmers iterate in packed-integer (== lexicographic) order, matching
     # the reference's ordered std::map<mer_dna, ...>
     for kmer, genomic_count in zip(sorted_kmers, genomic_counts):
@@ -339,7 +340,7 @@ def _select_kmers_with_counts(
         if local_count > 1:
             continue
         allele = occurrences[kmer][0]
-        if not variant.get_paths_of_allele(allele):
+        if allele not in covered:
             continue
         allele_to_kmers.setdefault(allele, []).append(kmer)
 
@@ -430,10 +431,217 @@ class UniqueKmerComputer:
         self.graph = graph
         self.kmer_coverage = kmer_coverage
 
-    BLOCK = 512  # variants per lookup batch (bounds memory, amortizes
-    #              numpy/native call overhead across bubbles)
+    BLOCK = 2048  # variants per flat batch (bounds memory, amortizes
+    #               numpy/native call overhead across bubbles)
 
     def compute_unique_kmers(
+        self,
+        probabilities: ProbabilityTable,
+        delete_processed_variants: bool = False,
+    ) -> List[UniqueKmersRecord]:
+        """Flat-vectorized selection: one enumeration + three sorts per
+        BLOCK of bubbles instead of a numpy pipeline per allele.
+
+        Equivalent to :meth:`compute_unique_kmers_reference` (tested
+        bubble-for-bubble); the per-bubble loops were the genome-scale
+        wall. Key identity used: the reference keeps a kmer iff
+        genomic_count == local_count and local_count == 1 and its
+        allele is path-covered (src/uniquekmercomputer.cpp:45-92),
+        which is exactly local_count == 1 AND genomic_count == 1 AND
+        covered.
+        """
+        from .mer import flat_segment_kmers
+
+        result: List[UniqueKmersRecord] = []
+        k = self.graph.kmer_size
+        length = 2 * k
+        nr_variants = self.graph.size()
+        min_cov = self.kmer_coverage // 4
+        max_cov = self.kmer_coverage * 4
+
+        for block_start in range(0, nr_variants, self.BLOCK):
+            block = range(
+                block_start, min(block_start + self.BLOCK, nr_variants)
+            )
+            V = len(block)
+            records: List[UniqueKmersRecord] = []
+            seg_seqs: List[bytes] = []
+            seg_var_l: List[int] = []
+            seg_allele_l: List[int] = []
+            flank_seqs: List[bytes] = []
+            max_kmers = np.empty(V, np.int64)
+            max_total = np.empty(V, np.int64)
+            covered_keys_l: List[np.ndarray] = []
+            ALLELE_BITS = 18  # allele ids < 2^17 (65534 + 2*samples)
+            for j, v in enumerate(block):
+                variant = self.graph.get_variant(v)
+                paths_arr = np.asarray(variant.paths, dtype=np.int32)
+                record = UniqueKmersRecord(
+                    variant.get_start_position(), paths_arr
+                )
+                records.append(record)
+                is_biallelic = bool((paths_arr <= 1).all())
+                max_kmers[j] = 16 if is_biallelic else 32
+                max_total[j] = max(variant.nr_of_paths(), 301)
+                covered_keys_l.append(
+                    np.unique(paths_arr).astype(np.int64)
+                    + (j << ALLELE_BITS)
+                )
+                for a in range(variant.nr_of_alleles()):
+                    if variant.is_undefined_allele(a):
+                        record.set_undefined_allele(a)
+                        continue
+                    seg_seqs.append(variant.get_allele_sequence(a))
+                    seg_var_l.append(j)
+                    seg_allele_l.append(a)
+                flank_seqs.append(self.graph.get_left_overhang(v, length))
+                flank_seqs.append(self.graph.get_right_overhang(v, length))
+
+            seg_var = np.asarray(seg_var_l, np.int64)
+            seg_allele = np.asarray(seg_allele_l, np.int64)
+
+            # ---- allele k-mers: unique within allele, local to bubble
+            fv = np.empty(0, np.int64)
+            fa = np.empty(0, np.int64)
+            fk = np.empty(0, np.uint64)
+            if len(seg_seqs):
+                kmers, segs = flat_segment_kmers(seg_seqs, k)
+                segs = segs.astype(np.int64)
+                order = np.lexsort((kmers, segs))
+                sk, ss = kmers[order], segs[order]
+                new = np.ones(len(sk), bool)
+                if len(sk) > 1:
+                    new[1:] = (ss[1:] != ss[:-1]) | (sk[1:] != sk[:-1])
+                starts = np.flatnonzero(new)
+                run_len = np.diff(np.append(starts, len(sk)))
+                uniq_rows = starts[run_len == 1]  # unique within allele
+                u_seg = ss[uniq_rows]
+                u_kmer = sk[uniq_rows]
+                u_var = seg_var[u_seg]
+                u_allele = seg_allele[u_seg]
+                # local_count == 1: kmer unique-within exactly one allele
+                order2 = np.lexsort((u_kmer, u_var))
+                vv, vk = u_var[order2], u_kmer[order2]
+                va = u_allele[order2]
+                new2 = np.ones(len(vk), bool)
+                if len(vk) > 1:
+                    new2[1:] = (vv[1:] != vv[:-1]) | (vk[1:] != vk[:-1])
+                starts2 = np.flatnonzero(new2)
+                rl2 = np.diff(np.append(starts2, len(vk)))
+                rows = starts2[rl2 == 1]
+                cand_var = vv[rows]
+                cand_kmer = vk[rows]
+                cand_allele = va[rows]
+                # allele must be covered by >= 1 path
+                if len(cand_var):
+                    covered_keys = np.concatenate(covered_keys_l)
+                    cand_keys = (cand_var << ALLELE_BITS) + cand_allele
+                    cov_ok = np.isin(cand_keys, covered_keys)
+                    gen = self.genomic_kmers.get_abundances(cand_kmer)
+                    m = cov_ok & (gen == 1)
+                    v3 = cand_var[m]
+                    a3 = cand_allele[m]
+                    k3 = cand_kmer[m]
+                    # per-allele cap: rank within (var, allele), kmers
+                    # in lexicographic order
+                    order3 = np.lexsort((k3, a3, v3))
+                    v3, a3, k3 = v3[order3], a3[order3], k3[order3]
+                    n3 = len(v3)
+                    if n3:
+                        new3 = np.ones(n3, bool)
+                        new3[1:] = (v3[1:] != v3[:-1]) | (a3[1:] != a3[:-1])
+                        grp = np.maximum.accumulate(
+                            np.where(new3, np.arange(n3), 0)
+                        )
+                        rank = np.arange(n3) - grp
+                        keep3 = rank < max_kmers[v3]
+                        v4, a4, k4, r4 = (
+                            v3[keep3], a3[keep3], k3[keep3], rank[keep3]
+                        )
+                        # round-robin total cap: global pick order is
+                        # (rank, allele) within each variant
+                        order4 = np.lexsort((a4, r4, v4))
+                        v5, a5, k5 = v4[order4], a4[order4], k4[order4]
+                        n5 = len(v5)
+                        new5 = np.ones(n5, bool)
+                        if n5:
+                            new5[1:] = v5[1:] != v5[:-1]
+                        var_start = np.maximum.accumulate(
+                            np.where(new5, np.arange(n5), 0)
+                        )
+                        pos = np.arange(n5) - var_start
+                        keep5 = pos < max_total[v5]
+                        v6, a6, k6 = v5[keep5], a5[keep5], k5[keep5]
+                        # final layout: grouped by allele, kmers in
+                        # pick (== lexicographic) order
+                        order6 = np.lexsort((k6, a6, v6))
+                        fv, fa, fk = v6[order6], a6[order6], k6[order6]
+
+            # ---- local coverage from flanking kmers
+            cov_sum = np.zeros(V, np.int64)
+            cov_cnt = np.zeros(V, np.int64)
+            fkm, fsg = flat_segment_kmers(flank_seqs, k)
+            fsg = fsg.astype(np.int64)
+            orderF = np.lexsort((fkm, fsg))
+            fkm, fsg = fkm[orderF], fsg[orderF]
+            newF = np.ones(len(fkm), bool)
+            if len(fkm) > 1:
+                newF[1:] = (fsg[1:] != fsg[:-1]) | (fkm[1:] != fkm[:-1])
+            startsF = np.flatnonzero(newF)
+            rlF = np.diff(np.append(startsF, len(fkm)))
+            rowsF = startsF[rlF == 1]  # unique within flank, kmer-sorted
+            if len(rowsF):
+                segF = fsg[rowsF]
+                kmF = fkm[rowsF]
+                genF = self.genomic_kmers.get_abundances(kmF)
+                readF = self.read_kmers.get_abundances(kmF)
+                g1 = genF == 1
+                cs = np.cumsum(g1)
+                seg_new = np.ones(len(segF), bool)
+                seg_new[1:] = segF[1:] != segF[:-1]
+                base = np.maximum.accumulate(np.where(seg_new, cs - g1, 0))
+                r = cs - g1 - base  # rank among genome-unique, per flank
+                chosen = g1 & (r < 12)
+                contrib = chosen & (readF >= min_cov) & (readF <= max_cov)
+                varF = (segF // 2)[contrib]
+                cov_sum = np.bincount(
+                    varF, weights=readF[contrib].astype(np.float64),
+                    minlength=V,
+                ).astype(np.int64)
+                cov_cnt = np.bincount(varF, minlength=V)
+
+            # ---- read counts + probability filter, per record
+            read_counts = self.read_kmers.get_abundances(fk)
+            row_off = np.searchsorted(fv, np.arange(V + 1))
+            for j in range(V):
+                record = records[j]
+                if cov_cnt[j] > 0 and cov_sum[j] > 0:
+                    record.set_coverage(int(cov_sum[j] // cov_cnt[j]))
+                else:
+                    record.set_coverage(self.kmer_coverage)
+                lo, hi = int(row_off[j]), int(row_off[j + 1])
+                if hi > lo:
+                    counts = read_counts[lo:hi]
+                    probs = probabilities.get_probabilities(
+                        record.get_coverage(), counts
+                    )
+                    keep = (probs > 0).any(axis=1)
+                    record.insert_kmers_single(
+                        counts[keep], fa[lo:hi][keep].astype(np.int32)
+                    )
+                result.append(record)
+
+            if delete_processed_variants:
+                first = block[0]
+                if first > 0:
+                    self.graph.delete_variant(first - 1)
+                for v in block[:-1]:
+                    self.graph.delete_variant(v)
+                if block[-1] == nr_variants - 1:
+                    self.graph.delete_variant(block[-1])
+        return result
+
+    def compute_unique_kmers_reference(
         self,
         probabilities: ProbabilityTable,
         delete_processed_variants: bool = False,

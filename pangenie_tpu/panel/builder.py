@@ -26,10 +26,16 @@ _ALT_PATTERN = re.compile(rb"^[CAGTcagt,]+$")
 _VCF_FIELDS = ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO", "FORMAT"]
 
 
+_ATOI_RE = re.compile(r"\s*[+-]?\d+")
+
+
 def _atoi(s: str) -> int:
     """C atoi: leading integer prefix, 0 if none."""
-    m = re.match(r"\s*[+-]?\d+", s)
-    return int(m.group()) if m else 0
+    try:
+        return int(s)  # fast path: plain genotype indices
+    except ValueError:
+        m = _ATOI_RE.match(s)
+        return int(m.group()) if m else 0
 
 
 def _parse_info_ids(info: str) -> List[str]:
@@ -196,12 +202,12 @@ class PanelBuilder:
                 for token in tokens[9:]:
                     if "/" in token:
                         raise RuntimeError("PanelBuilder: found unphased genotype.")
-                    parts = token.split("|")
-                    if len(parts) != 2:
+                    a, sep, b = token.partition("|")
+                    if not sep or "|" in b:
                         raise RuntimeError(
                             "PanelBuilder: genotypes must be diploid (.|. if missing)."
                         )
-                    for s in parts:
+                    for s in (a, b):
                         if s == ".":
                             alleles.append(b"N")
                             paths.append(undefined_index)
