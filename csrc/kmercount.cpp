@@ -205,6 +205,35 @@ extern "C" void pg_hash_destroy(void* handle) {
     delete static_cast<KmerHash*>(handle);
 }
 
+// Threaded batched abundance lookup via the hash index (canonical
+// queries): ~2 probes per query instead of log2(n) binary-search
+// cache misses — the unique-kmer selection issues ~200 queries per
+// bubble against multi-10M-key tables.
+extern "C" void pg_hash_lookup(
+    void* handle, const int64_t* counts, const uint64_t* queries,
+    int64_t n_queries, int64_t* out, int n_threads) {
+    const KmerHash* hash = static_cast<KmerHash*>(handle);
+    auto worker = [&](int64_t b, int64_t e) {
+        for (int64_t i = b; i < e; ++i) {
+            const int64_t slot = hash->find(queries[i]);
+            out[i] = slot >= 0 ? counts[slot] : 0;
+        }
+    };
+    if (n_threads <= 1 || n_queries < (1 << 16)) {
+        worker(0, n_queries);
+        return;
+    }
+    std::vector<std::thread> threads;
+    const int64_t chunk = (n_queries + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        const int64_t b = t * chunk;
+        const int64_t e = std::min(n_queries, b + chunk);
+        if (b >= e) break;
+        threads.emplace_back(worker, b, e);
+    }
+    for (auto& th : threads) th.join();
+}
+
 // Threaded fused extract + PRIME/UPDATE accumulation via the hash
 // index. Threads split the sequence batch; counts are updated with
 // atomic adds (contention is negligible: different kmers hash apart).
@@ -426,6 +455,117 @@ void pg_pack_2bit(const uint8_t* codes, int64_t n_rows, int64_t L,
         threads.emplace_back(worker, lo, hi);
     }
     for (auto& th : threads) th.join();
+}
+
+// Pack variable-length rows straight from the raw sequence byte
+// buffer (ASCII bases) into the 2-bit + validity-bit device transfer
+// format, encoding inline — replaces the numpy window-gather +
+// separate-encode pipeline that dominated host time when streaming
+// reads to the device counter. Rows shorter than L get an invalid
+// (mask 0) tail.
+void pg_pack_rows(const uint8_t* text, const int64_t* starts,
+                  const int64_t* lens, int64_t n_rows, int64_t L,
+                  uint32_t* words, uint32_t* vwords, int n_threads) {
+    uint8_t code[256];
+    init_code_table(code);
+    const int64_t W16 = (L + 15) / 16;
+    const int64_t W32 = (L + 31) / 32;
+    if (n_threads < 1) n_threads = 1;
+    auto worker = [&](int64_t row_lo, int64_t row_hi) {
+        for (int64_t r = row_lo; r < row_hi; ++r) {
+            const uint8_t* row = text + starts[r];
+            const int64_t len = std::min(lens[r], L);
+            uint32_t* w = words + r * W16;
+            uint32_t* v = vwords + r * W32;
+            memset(w, 0, W16 * sizeof(uint32_t));
+            memset(v, 0, W32 * sizeof(uint32_t));
+            for (int64_t i = 0; i < len; ++i) {
+                const uint8_t c = code[row[i]];
+                if (c <= 3) {
+                    w[i >> 4] |= uint32_t(c) << (2 * (i & 15));
+                    v[i >> 5] |= 1u << (i & 31);
+                }
+            }
+        }
+    };
+    if (n_threads == 1 || n_rows < 1024) {
+        worker(0, n_rows);
+        return;
+    }
+    std::vector<std::thread> threads;
+    const int64_t chunk = (n_rows + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        const int64_t lo = t * chunk;
+        const int64_t hi = std::min(n_rows, lo + chunk);
+        if (lo >= hi) break;
+        threads.emplace_back(worker, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+}
+
+// Parse one VCF record's genotype region (tab-separated phased
+// diploid GT fields, "a|b[:...]"): writes 2 path allele ids per
+// sample. '.' haplotypes become sequential undefined allele ids
+// starting at n_base_alleles (the caller appends that many "N"
+// alleles). Returns the number of undefined haplotypes, or a negative
+// error: -1 unphased ('/'), -2 not diploid, -3 invalid genotype id,
+// -4 sample-count mismatch (caller falls back to its own parser).
+int64_t pg_parse_gt(const uint8_t* text, int64_t len,
+                    int64_t n_base_alleles, int64_t n_samples,
+                    int32_t* paths_out) {
+    int64_t n_undef = 0;
+    int64_t sample = 0;
+    int64_t i = 0;
+    while (i <= len) {
+        // token [i, j)
+        int64_t j = i;
+        while (j < len && text[j] != '\t') ++j;
+        if (j > i || i < len) {
+            if (sample >= n_samples) return -4;
+            // scan token: find first '|', reject '/', reject 2nd '|'
+            int64_t bar = -1;
+            for (int64_t p = i; p < j; ++p) {
+                const uint8_t c = text[p];
+                if (c == '/') return -1;
+                if (c == '|') {
+                    if (bar >= 0) return -2;
+                    bar = p;
+                }
+            }
+            if (bar < 0) return -2;
+            const int64_t halves[4] = {i, bar, bar + 1, j};
+            for (int h = 0; h < 2; ++h) {
+                const int64_t lo = halves[2 * h], hi = halves[2 * h + 1];
+                if (hi - lo == 1 && text[lo] == '.') {
+                    paths_out[2 * sample + h] =
+                        (int32_t)(n_base_alleles + n_undef);
+                    ++n_undef;
+                    continue;
+                }
+                // C atoi: optional sign + leading digits, 0 otherwise
+                int64_t p = lo;
+                while (p < hi && (text[p] == ' ' || text[p] == '\t')) ++p;
+                int64_t sign = 1;
+                if (p < hi && (text[p] == '+' || text[p] == '-')) {
+                    if (text[p] == '-') sign = -1;
+                    ++p;
+                }
+                int64_t v = 0;
+                while (p < hi && text[p] >= '0' && text[p] <= '9') {
+                    v = v * 10 + (text[p] - '0');
+                    ++p;
+                }
+                v *= sign;
+                if (v >= n_base_alleles + n_undef || v < 0) return -3;
+                paths_out[2 * sample + h] = (int32_t)v;
+            }
+            ++sample;
+        }
+        if (j >= len) break;
+        i = j + 1;
+    }
+    if (sample != n_samples) return -4;
+    return n_undef;
 }
 
 }  // extern "C"

@@ -483,9 +483,10 @@ class HaplotypeSampler:
         (reference src/haplotypesampler.cpp:296-309)."""
         if not self.sampled_paths:
             return
+        from ..kmers.unique import bulk_update_paths
+
         sampled = np.asarray(self.sampled_paths, dtype=np.int64)  # [S, N]
-        for n, record in enumerate(self.records):
-            record.update_paths(sampled[:, n])
+        bulk_update_paths(self.records, sampled)
 
     def get_sampled_paths(self) -> List[List[int]]:
         return self.sampled_paths

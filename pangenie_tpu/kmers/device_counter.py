@@ -842,13 +842,15 @@ def count_file_primed_device(
     from .counter import try_sequence_blocks
 
     raw_blocks = try_sequence_blocks(read_file)
-    if raw_blocks is not None:
-        # fast path: native FASTA parse + bulk numpy bucketing — the
-        # host side only gathers/packs; all counting is on device
+    if raw_blocks is not None and native.available():
+        # fast path: native FASTA parse + native encode-and-pack
+        # straight from the raw byte buffer (pg_pack_rows) — the
+        # earlier numpy window-gather pipeline cost ~90 ms/Mbp of host
+        # time, several times the device dispatch itself
         shard_i, shard_n = shard if shard is not None else (0, 1)
         base = 0
         for data, offsets in raw_blocks:
-            codes_flat = native.encode_bases_raw(data)
+            data = np.asarray(data, dtype=np.uint8)
             lens = np.diff(offsets)
             starts = offsets[:-1]
             n_here = len(lens)
@@ -876,25 +878,19 @@ def count_file_primed_device(
                 rows = buckets == L
                 row_starts = starts_k[rows]
                 row_lens = lens_k[rows]
-                window = row_starts[:, None] + np.arange(int(L))[None, :]
-                oob = np.arange(int(L))[None, :] >= row_lens[:, None]
-                np.clip(window, 0, len(codes_flat) - 1, out=window)
-                batch = codes_flat[window]
-                batch[oob] = 4
-                # split oversized batches so device shapes stay bounded
                 rows_per = max(1, block_bases // int(L))
-                for lo in range(0, batch.shape[0], rows_per):
-                    part = batch[lo: lo + rows_per]
-                    if part.shape[0] < rows_per and lo > 0:
-                        pad = np.full(
-                            (rows_per - part.shape[0], int(L)), 4,
-                            dtype=np.uint8,
-                        )
-                        part = np.concatenate([part, pad])
-                    packed = pack_codes_2bit(part)
-                    counter.update_packed_batch(
-                        packed[0], packed[1], int(L)
-                    )
+                n_rows = len(row_starts)
+                for lo in range(0, n_rows, rows_per):
+                    cs = row_starts[lo: lo + rows_per]
+                    cl = row_lens[lo: lo + rows_per]
+                    if len(cs) < rows_per and lo > 0:
+                        # pad with empty rows (all-invalid) to keep the
+                        # device shape compiled once
+                        pad = rows_per - len(cs)
+                        cs = np.concatenate([cs, np.zeros(pad, np.int64)])
+                        cl = np.concatenate([cl, np.zeros(pad, np.int64)])
+                    words, vwords = native.pack_rows(data, cs, cl, int(L))
+                    counter.update_packed_batch(words, vwords, int(L))
         keys_out, counts = counter.to_host_arrays()
         return ExactKmerCounter(k, keys_out, counts)
 

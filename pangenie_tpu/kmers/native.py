@@ -79,6 +79,21 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         lib.pg_pack_2bit.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, u32p, u32p, ctypes.c_int,
         ]
+        lib.pg_pack_rows.restype = None
+        lib.pg_pack_rows.argtypes = [
+            u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int64, u32p, u32p,
+            ctypes.c_int,
+        ]
+        lib.pg_hash_lookup.restype = None
+        lib.pg_hash_lookup.argtypes = [
+            ctypes.c_void_p, i64p, u64p, ctypes.c_int64, i64p,
+            ctypes.c_int,
+        ]
+        lib.pg_parse_gt.restype = ctypes.c_int64
+        lib.pg_parse_gt.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.pg_hash_stream_update.restype = None
         lib.pg_hash_stream_update.argtypes = [
             ctypes.c_void_p, u8p, i64p, ctypes.c_int64, ctypes.c_int,
@@ -221,6 +236,25 @@ class KmerHashIndex:
             n_threads, shard_i, shard_n, base,
         )
 
+    def lookup(self, queries: np.ndarray, counts: np.ndarray,
+               n_threads: int = 0) -> np.ndarray:
+        """Batched abundance lookup of canonical queries: ~2 hash
+        probes each instead of log2(n) binary-search misses."""
+        queries = np.ascontiguousarray(queries, dtype=np.uint64)
+        counts = np.ascontiguousarray(counts, dtype=np.int64)
+        out = np.empty(max(1, len(queries)), dtype=np.int64)
+        if n_threads <= 0:
+            n_threads = os.cpu_count() or 1
+        self._lib.pg_hash_lookup(
+            self._handle,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            queries.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            len(queries),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_threads,
+        )
+        return out[: len(queries)]
+
     def __del__(self):
         handle = getattr(self, "_handle", None)
         if handle:
@@ -303,6 +337,67 @@ def update_counts_sorted(
         len(queries),
     )
     return True
+
+
+def pack_rows(data: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+              L: int, n_threads: int = 0
+              ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Encode + pack variable-length rows straight from the raw
+    sequence byte buffer into the [B, ceil(L/16)] word / validity-mask
+    device transfer format (csrc pg_pack_rows). Rows shorter than L
+    get an invalid tail. None when the native engine is unavailable."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    B = len(starts)
+    words = np.empty((B, (L + 15) // 16), np.uint32)
+    vwords = np.empty((B, (L + 31) // 32), np.uint32)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    lib.pg_pack_rows(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        B, L,
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        vwords.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        n_threads,
+    )
+    return words, vwords
+
+
+def parse_gt_line(gt_region: bytes, n_base_alleles: int,
+                  n_samples: int) -> Optional[Tuple[np.ndarray, int]]:
+    """Parse one VCF record's tab-separated phased GT region into
+    2*n_samples path allele ids (csrc pg_parse_gt). Returns
+    (paths, n_undefined) on success, None when the native engine is
+    unavailable or the region needs the Python fallback (sample-count
+    mismatch). Raises RuntimeError with PanGenie-compatible messages
+    on malformed genotypes."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(gt_region, dtype=np.uint8)
+    out = np.empty(2 * n_samples, dtype=np.int32)
+    rc = lib.pg_parse_gt(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(buf), n_base_alleles, n_samples,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc >= 0:
+        return out, int(rc)
+    if rc == -1:
+        raise RuntimeError("PanelBuilder: found unphased genotype.")
+    if rc == -2:
+        raise RuntimeError(
+            "PanelBuilder: genotypes must be diploid (.|. if missing)."
+        )
+    if rc == -3:
+        raise RuntimeError("PanelBuilder: invalid genotype in VCF.")
+    return None  # -4: let the caller's Python parser decide
 
 
 def pack_2bit(codes: np.ndarray,

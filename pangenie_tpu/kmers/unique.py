@@ -289,6 +289,83 @@ class UniqueKmersRecord:
         ).astype(np.int32)
 
 
+def bulk_update_paths(
+    records: Sequence[UniqueKmersRecord], sampled: np.ndarray
+) -> None:
+    """Vectorized :meth:`UniqueKmersRecord.update_paths` over a whole
+    chromosome (sampled: [S, N] path ids per record).
+
+    Requires every record's kmers to lie on a single allele (the
+    production selection invariant); falls back to the per-record path
+    otherwise. The per-record numpy pipeline (~100 us each) was the
+    genome-scale wall of the sampling phase.
+    """
+    S, N = sampled.shape
+    if N == 0:
+        return
+    assert len(records) == N
+    sizes = np.fromiter((r.size() for r in records), np.int64, count=N)
+    lens = np.fromiter(
+        (len(r.allele_data) for r in records), np.int64, count=N
+    )
+    if not np.array_equal(sizes, lens):
+        for n, record in enumerate(records):
+            record.update_paths(sampled[:, n])
+        return
+
+    P = records[0].get_nr_paths()
+    p2a = np.empty((N, P), np.int32)
+    for n, r in enumerate(records):
+        p2a[n] = r.path_to_allele
+    new_p2a = np.take_along_axis(
+        p2a, sampled.T.astype(np.int64), axis=1
+    ).astype(np.int32)
+    surv_sorted = np.sort(new_p2a, axis=1)
+    first = np.ones((N, S), bool)
+    first[:, 1:] = surv_sorted[:, 1:] != surv_sorted[:, :-1]
+    rows = np.repeat(
+        np.arange(N, dtype=np.int64), first.sum(axis=1)
+    )
+    surv_keys = (rows << np.int64(20)) | surv_sorted[first].astype(np.int64)
+
+    total = int(lens.sum())
+    if total:
+        flat_allele = np.concatenate(
+            [r.allele_data for r in records if len(r.allele_data)]
+        ).astype(np.int64)
+        entry_rec = np.repeat(np.arange(N, dtype=np.int64), lens)
+        keep = np.isin(
+            (entry_rec << np.int64(20)) | flat_allele, surv_keys
+        )
+        kept_rec = entry_rec[keep]
+        kept_allele = flat_allele[keep].astype(np.int32)
+        counts_flat = np.concatenate(
+            [r.kmer_counts for r in records if r.size()]
+        )
+        kept_counts = counts_flat[keep]
+        off = np.searchsorted(kept_rec, np.arange(N + 1))
+    else:
+        kept_allele = np.empty(0, np.int32)
+        kept_counts = np.empty(0, np.int32)
+        off = np.zeros(N + 1, np.int64)
+
+    boundaries = np.cumsum(first.sum(axis=1))
+    flat_surv = surv_sorted[first].tolist()
+    lo_s = 0
+    for n, record in enumerate(records):
+        hi_s = int(boundaries[n])
+        old = record.alleles
+        record.alleles = {
+            a: old.get(a, False) for a in flat_surv[lo_s:hi_s]
+        }
+        lo_s = hi_s
+        record.path_to_allele = new_p2a[n]
+        lo, hi = int(off[n]), int(off[n + 1])
+        record._kmer_counts = kept_counts[lo:hi]
+        record.allele_data = kept_allele[lo:hi]
+        record.allele_indptr = np.arange(hi - lo + 1, dtype=np.int32)
+
+
 # ---------------------------------------------------------------------------
 # selection
 # ---------------------------------------------------------------------------
@@ -610,25 +687,39 @@ class UniqueKmerComputer:
                 ).astype(np.int64)
                 cov_cnt = np.bincount(varF, minlength=V)
 
-            # ---- read counts + probability filter, per record
+            # ---- read counts + probability filter, bulk over the block
             read_counts = self.read_kmers.get_abundances(fk)
-            row_off = np.searchsorted(fv, np.arange(V + 1))
+            coverage_v = np.where(
+                (cov_cnt > 0) & (cov_sum > 0),
+                cov_sum // np.maximum(cov_cnt, 1),
+                self.kmer_coverage,
+            ).astype(np.int64)
+            if len(fk):
+                probs = probabilities.get_probabilities_rows(
+                    coverage_v[fv], read_counts
+                )
+                keepk = (probs > 0).any(axis=1)
+            else:
+                keepk = np.zeros(0, bool)
+            fv2 = fv[keepk]
+            fa2 = fa[keepk].astype(np.int32)
+            counts2 = read_counts[keepk].astype(np.int32)
+            row_off = np.searchsorted(fv2, np.arange(V + 1))
+            coverage_l = coverage_v.tolist()
             for j in range(V):
                 record = records[j]
-                if cov_cnt[j] > 0 and cov_sum[j] > 0:
-                    record.set_coverage(int(cov_sum[j] // cov_cnt[j]))
-                else:
-                    record.set_coverage(self.kmer_coverage)
+                record.coverage = coverage_l[j]
                 lo, hi = int(row_off[j]), int(row_off[j + 1])
                 if hi > lo:
-                    counts = read_counts[lo:hi]
-                    probs = probabilities.get_probabilities(
-                        record.get_coverage(), counts
+                    # bulk equivalent of insert_kmers_single: per-record
+                    # views of the block arrays (single-allele kmers)
+                    record._kmer_counts = counts2[lo:hi]
+                    record.allele_data = fa2[lo:hi]
+                    record.allele_indptr = np.arange(
+                        hi - lo + 1, dtype=np.int32
                     )
-                    keep = (probs > 0).any(axis=1)
-                    record.insert_kmers_single(
-                        counts[keep], fa[lo:hi][keep].astype(np.int32)
-                    )
+                    for a in np.unique(fa2[lo:hi]).tolist():
+                        record.alleles.setdefault(a, False)
                 result.append(record)
 
             if delete_processed_variants:

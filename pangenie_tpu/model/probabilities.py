@@ -121,6 +121,34 @@ class ProbabilityTable:
             )
         return result
 
+    def get_probabilities_rows(
+        self, coverages: np.ndarray, read_kmer_counts: np.ndarray
+    ) -> np.ndarray:
+        """Vectorized (n, 3) probabilities with a PER-ROW coverage —
+        one table gather for a whole block of variants (the per-record
+        get_probabilities call was a genome-scale host cost)."""
+        n = len(read_kmer_counts)
+        result = np.empty((n, 3), dtype=np.float64)
+        cov = np.asarray(coverages, dtype=np.int64)
+        cnt = np.asarray(read_kmer_counts, dtype=np.int64)
+        in_table = (
+            (cov >= self.cov_min) & (cov < self.cov_max)
+            & (cnt < self.count_max)
+        )
+        if self.table.size and np.any(in_table):
+            result[in_table] = self.table[
+                cnt[in_table], cov[in_table] - self.cov_min
+            ]
+        oob = np.nonzero(~in_table)[0]
+        if len(oob):
+            pairs = np.stack([cov[oob], cnt[oob]], axis=1)
+            uniq, inverse = np.unique(pairs, axis=0, return_inverse=True)
+            vals = np.stack(
+                [self.compute_probability(int(c), int(x)) for c, x in uniq]
+            )
+            result[oob] = vals[inverse]
+        return result
+
     def modify_probability(
         self, kmer_coverage: int, read_kmer_count: int, probs: Tuple[float, float, float]
     ) -> None:

@@ -86,10 +86,15 @@ class PanelBuilder:
 
         previous_chrom = ""
         previous_end_pos = 0
+        nr_samples = 0  # set by the header line
         variant_cluster: List[VariantBubble] = []
         variant_cluster_ids: List[List[str]] = []
         current_graph: ChromosomeGraph | None = None
         header_seen = False
+
+        from ..kmers import native as _native
+
+        use_native_gt = _native.available()
 
         with file:
             for line in file:
@@ -98,7 +103,13 @@ class PanelBuilder:
                     continue
                 if line.startswith("##"):
                     continue
-                tokens = line.split("\t")
+                # data rows: only fields 0-8 are tokenized; the GT
+                # region (field 9+) parses as one block natively
+                tokens = (
+                    line.split("\t")
+                    if line.startswith("#")
+                    else line.split("\t", 9)
+                )
                 if line.startswith("#"):
                     if len(tokens) < 9:
                         raise RuntimeError("PanelBuilder: not a proper VCF-file.")
@@ -109,7 +120,8 @@ class PanelBuilder:
                             raise RuntimeError(
                                 "PanelBuilder: VCF header line is malformed."
                             )
-                    self.nr_paths = (len(tokens) - 9) * 2
+                    nr_samples = len(tokens) - 9
+                    self.nr_paths = nr_samples * 2
                     if add_reference:
                         self.nr_paths += 1
                     header_seen = True
@@ -199,7 +211,24 @@ class PanelBuilder:
                 if add_reference:
                     paths.append(0)
                 undefined_index = len(alleles)
-                for token in tokens[9:]:
+                parsed = (
+                    _native.parse_gt_line(
+                        tokens[9].encode("ascii"), undefined_index,
+                        nr_samples,
+                    )
+                    if use_native_gt
+                    else None
+                )
+                if parsed is not None:
+                    gt_paths, n_undef = parsed
+                    paths.extend(gt_paths.tolist())
+                    if n_undef:
+                        alleles.extend([b"N"] * n_undef)
+                        assert undefined_index + n_undef <= 65535
+                    gt_tokens = []
+                else:
+                    gt_tokens = tokens[9].split("\t")
+                for token in gt_tokens:
                     if "/" in token:
                         raise RuntimeError("PanelBuilder: found unphased genotype.")
                     a, sep, b = token.partition("|")
