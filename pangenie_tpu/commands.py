@@ -474,6 +474,7 @@ def _genotyping_block(
     all_runs: List[tuple] = []
     base_index: Dict[str, int] = {}  # chromosome -> min global run index
     dense_cache: Dict[str, object] = {}
+    cols_cache: Dict[tuple, tuple] = {}  # (chrom, paths) -> built columns
     for idx in local_indices:
         chromosome, is_genotyping, paths = run_specs[idx]
         records = unique_kmers_list.unique_kmers[chromosome]
@@ -483,12 +484,17 @@ def _genotyping_block(
                 densify_records(records, probabilities) if records else None
             )
         base_index.setdefault(chromosome, idx)
-        all_runs.append((chromosome, PairHMM(
+        cols_key = (chromosome, tuple(paths))
+        hmm = PairHMM(
             records, probabilities, is_genotyping, not is_genotyping,
             recombrate, False, effective_N, paths, normalize=False,
             dtype=dtype, defer=True, dense=dense_cache[chromosome],
-        )))
-    del dense_cache
+            prebuilt=cols_cache.get(cols_key),
+        )
+        # genotyping + phasing over the same subset share columns
+        cols_cache.setdefault(cols_key, hmm.shared_columns())
+        all_runs.append((chromosome, hmm))
+    del dense_cache, cols_cache
     # the (chromosome x subset) grid executes as batched device scans;
     # PANGENIE_TPU_PROFILE=<dir> wraps it in a jax.profiler trace
     profile_dir = os.environ.get("PANGENIE_TPU_PROFILE")

@@ -180,6 +180,7 @@ class PairHMM:
         dtype=jnp.float64,
         defer: bool = False,
         dense=None,
+        prebuilt=None,
     ):
         import time as _time
 
@@ -201,6 +202,16 @@ class PairHMM:
             if not defer:
                 self._execute()
             return
+        if prebuilt is not None:
+            # share densified/padded/transferred columns with another
+            # run over the same records + path subset (genotyping and
+            # phasing use identical columns whenever their subsets
+            # coincide — always true once sampling reduced the panel)
+            self.columns, self.device_cols, self._host_cols = prebuilt
+            if not defer:
+                self._execute()
+            self.runtime += _time.monotonic() - _t0
+            return
         columns = build_columns(records, probabilities, only_paths, dense=dense)
         self.columns = columns
         self.device_cols = None
@@ -217,6 +228,10 @@ class PairHMM:
         if not defer:
             self._execute()
         self.runtime += _time.monotonic() - _t0
+
+    def shared_columns(self):
+        """(columns, device_cols, host_cols) for PairHMM(prebuilt=...)."""
+        return (self.columns, self.device_cols, self._host_cols)
 
     SEGMENT = 1 << 17  # columns per streamed segment for long scans
 

@@ -50,7 +50,9 @@ def contains_undefined(seq: bytes) -> bool:
     src/dnasequence.cpp:208-210): the reference marks a sequence
     undefined when any appended base encodes to 4.
     """
-    return any(c not in _VALID for c in seq)
+    # delete-based scan: C-speed for the overwhelmingly common
+    # all-ACGT case (a Python genexpr per base dominated selection)
+    return len(bytes(seq).translate(None, delete=b"ACGT")) > 0
 
 
 def revcomp(seq: bytes) -> bytes:

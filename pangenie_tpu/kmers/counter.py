@@ -29,8 +29,15 @@ from typing import Iterable, Iterator, List, Sequence
 
 import numpy as np
 
+import weakref
+
 from . import native
 from .histogram import Histogram, compute_kmer_coverage_from_peaks
+
+# (keys buffer address, length) -> shared native hash index. The index
+# holds its key array alive, so a live entry's address cannot be
+# recycled; dead entries vanish with their last counter.
+_HASH_INDEX_CACHE: "weakref.WeakValueDictionary" = weakref.WeakValueDictionary()
 from .mer import canonicalize, encode_kmer, enumerate_valid_kmers
 from ..io.sequence import normalize_sequence
 
@@ -294,10 +301,19 @@ class ExactKmerCounter(KmerCounter):
         canon = canonicalize(np.asarray(values, dtype=np.uint64), self.k)
         if len(self.keys) >= self._HASH_MIN_KEYS and native.available():
             # big tables: amortize a one-time open-addressing index —
-            # ~2 probes/query beats 20+ binary-search cache misses
+            # ~2 probes/query beats 20+ binary-search cache misses.
+            # Counters sharing a key table (PRIME+UPDATE reuses the
+            # graph counter's keys) share one index via the cache.
             hash_index = getattr(self, "_hash_index", None)
             if hash_index is None:
-                hash_index = native.KmerHashIndex(self.keys)
+                cache_key = (
+                    self.keys.__array_interface__["data"][0],
+                    len(self.keys),
+                )
+                hash_index = _HASH_INDEX_CACHE.get(cache_key)
+                if hash_index is None:
+                    hash_index = native.KmerHashIndex(self.keys)
+                    _HASH_INDEX_CACHE[cache_key] = hash_index
                 self._hash_index = hash_index
             return hash_index.lookup(canon, self.counts)
         result = native.lookup_sorted(self.keys, self.counts, canon)

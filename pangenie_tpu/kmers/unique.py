@@ -560,8 +560,13 @@ class UniqueKmerComputer:
                 is_biallelic = bool((paths_arr <= 1).all())
                 max_kmers[j] = 16 if is_biallelic else 32
                 max_total[j] = max(variant.nr_of_paths(), 301)
+                # the record ctor already computed np.unique(paths):
+                # its alleles dict keys are exactly the covered set
                 covered_keys_l.append(
-                    np.unique(paths_arr).astype(np.int64)
+                    np.fromiter(
+                        record.alleles.keys(), np.int64,
+                        count=len(record.alleles),
+                    )
                     + (j << ALLELE_BITS)
                 )
                 for a in range(variant.nr_of_alleles()):
