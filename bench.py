@@ -138,57 +138,68 @@ def bench_kmers() -> None:
 
 
 def bench_e2e() -> None:
-    """Full simulated genotyping run: variants/sec end-to-end."""
-    import numpy as np
+    """Genome-scale end-to-end genotyping: variants/sec.
 
+    Workload (VERDICT r02 item 3): 50 Mb over 5 chromosomes, 61
+    diploid samples = 123 haplotype paths (auto-sampling to 15
+    engages, as on every real panel), reference-like variant density
+    (~270k variants), 12x error-prone 150 bp reads (~600 Mbp).
+
+    The full `single` pipeline runs TWICE in-process: the first (cold)
+    run pays XLA compiles — minutes-scale on the tunneled backend and
+    not cacheable across processes (a persistent-cache entry still
+    recompiled in 437 s when loaded from a fresh process) — the second
+    run is the steady state. Both walls are reported; vs_baseline uses
+    the warm number. Per-phase wall summaries for both runs print to
+    stderr above the JSON line, so host-bound phases (VCF parse,
+    selection — 2 CPU cores here vs the reference baseline's 24) are
+    attributable.
+    """
+    import types
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks.genome_scale import build_inputs
     from pangenie_tpu.commands import run_single_command
     from pangenie_tpu.eval.concordance import genotype_concordance
-    from pangenie_tpu.utils import simulate as sim
 
-    length, samples, coverage, read_len = 1_000_000, 22, 25.0, 150
-    workdir_ctx = tempfile.TemporaryDirectory(prefix="pangenie_bench_")
-    workdir = workdir_ctx.name
-    cwd = os.getcwd()
-    os.chdir(workdir)
-    try:
-        rng = np.random.default_rng(7)
-        reference = sim.random_reference(length, rng)
-        variants = sim.simulate_panel(reference, nr_samples=samples, rng=rng)
-        sim.write_inputs(".", reference, variants)
-        hap1, hap2 = sim.haplotype_sequences(reference, variants, 0)
-        sim.simulate_reads(hap1, hap2, coverage, read_len, rng,
-                           outfile="reads.fa")
-        with open("truth.vcf", "w") as out:
-            out.write(
-                "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\t"
-                "FILTER\tINFO\tFORMAT\tS\n"
+    args = types.SimpleNamespace(
+        mb=50.0, chroms=5, samples=61, coverage=12.0, read_len=150,
+        distance=150, seed=11,
+    )
+    with tempfile.TemporaryDirectory(prefix="pangenie_bench_") as workdir:
+        casedir = build_inputs(args, workdir)
+        outpref = os.path.join(casedir, "out")
+        walls = []
+        for rep in range(2):
+            t0 = time.monotonic()
+            run_single_command(
+                os.path.join(casedir, "reads.fa"),
+                os.path.join(casedir, "ref.fa"),
+                os.path.join(casedir, "panel.vcf"),
+                31,
+                outpref,
+                nr_jellyfish_threads=2,
+                nr_core_threads=2,
             )
-            for v in variants:
-                a, b = sorted(v.genotypes[0])
-                out.write(
-                    f"chr1\t{v.position + 1}\t.\t{v.ref.decode()}\t"
-                    f"{','.join(x.decode() for x in v.alts)}\t.\tPASS\t.\t"
-                    f"GT\t{a}/{b}\n"
-                )
-        t0 = time.monotonic()
-        run_single_command("reads.fa", "ref.fa", "panel.vcf", 31, "out")
-        wall = time.monotonic() - t0
-        result = genotype_concordance("out_genotyping.vcf", "truth.vcf")
-        value = result.total / wall
+            walls.append(time.monotonic() - t0)
+        result = genotype_concordance(
+            outpref + "_genotyping.vcf", os.path.join(casedir, "truth.vcf")
+        )
+        value = result.total / walls[-1]
         print(json.dumps({
             "metric": "e2e_genotype_variants_per_sec",
             "value": round(value, 1),
             "unit": "variants/s",
-            "wall_s": round(wall, 2),
+            "warm_wall_s": round(walls[-1], 2),
+            "cold_wall_s": round(walls[0], 2),
             "variants": result.total,
-            "length_bp": length,
-            "paths": 2 * samples + 1,
+            "length_bp": int(args.mb * 1_000_000),
+            "chromosomes": args.chroms,
+            "paths": 2 * args.samples + 1,
+            "coverage": args.coverage,
             "concordance": round(result.concordance, 5),
             "vs_baseline": round(value / BASELINE_COLUMNS_PER_SEC, 3),
         }), flush=True)
-    finally:
-        os.chdir(cwd)
-        workdir_ctx.cleanup()
 
 
 def bench_hmm() -> None:

