@@ -249,12 +249,17 @@ def bench_hmm() -> None:
     dispatch = hmm_batch.last_dispatch
 
     # reference point: the portable XLA scan on the same inputs — the
-    # kernel-vs-scan comparison VERDICT r02 asked the artifact to carry
+    # kernel-vs-scan comparison VERDICT r02 asked the artifact to carry.
+    # A fresh wrapper function forces a re-trace (jax.jit shares its
+    # cache per function object, so the env flag alone would silently
+    # reuse the kernel executable).
     os.environ["PANGENIE_TPU_NO_PALLAS"] = "1"
     try:
-        scan_elapsed = timed(jax.jit(forward_backward_batch))
+        scan_elapsed = timed(jax.jit(lambda c: forward_backward_batch(c)))
+        scan_dispatch = hmm_batch.last_dispatch
     finally:
         del os.environ["PANGENIE_TPU_NO_PALLAS"]
+    assert scan_dispatch == "xla_scan", scan_dispatch
 
     columns_per_sec = B * N / elapsed
     print(json.dumps({

@@ -73,6 +73,23 @@ def encode_kmer_strings(kmers, k: int) -> np.ndarray:
     return out
 
 
+_DECODE_BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def decode_kmers_bulk(values: np.ndarray, k: int) -> np.ndarray:
+    """Decode packed k-mers to an [n] array of length-k byte strings.
+
+    One shift/LUT pass instead of a Python loop per k-mer — the
+    index-time TSV emits every selected kmer as text."""
+    vals = np.asarray(values, dtype=np.uint64)
+    shifts = (2 * (k - 1 - np.arange(k))).astype(np.uint64)
+    codes = ((vals[:, None] >> shifts[None, :]) & np.uint64(3)).astype(
+        np.uint8
+    )
+    chars = _DECODE_BASES[codes]  # [n, k] ASCII
+    return np.ascontiguousarray(chars).view(f"S{k}")[:, 0]
+
+
 def decode_kmer(value: int, k: int) -> str:
     bases = "ACGT"
     chars = []

@@ -932,6 +932,213 @@ class StepwiseUniqueKmerComputer:
     def compute_unique_kmers(
         self, tsv_filename: str, delete_processed_variants: bool = False
     ) -> List[UniqueKmersRecord]:
+        """Flat-vectorized index-time selection (same machinery as
+        UniqueKmerComputer.compute_unique_kmers, without read counts)
+        + bulk TSV emission. Byte-identical TSVs and records to
+        :meth:`compute_unique_kmers_reference` (tested)."""
+        import gzip
+
+        from .mer import decode_kmers_bulk, flat_segment_kmers
+
+        result: List[UniqueKmersRecord] = []
+        k = self.graph.kmer_size
+        length = 2 * k
+        nr_variants = self.graph.size()
+        with gzip.open(tsv_filename, "wt") as out:
+            out.write(
+                "#chromosome\tstart\tend\tunique_kmers\tunique_kmers_overhang\n"
+            )
+            for block_start in range(0, nr_variants, self.BLOCK):
+                block = range(
+                    block_start, min(block_start + self.BLOCK, nr_variants)
+                )
+                V = len(block)
+                records: List[UniqueKmersRecord] = []
+                variants = []
+                seg_seqs: List[bytes] = []
+                seg_var_l: List[int] = []
+                seg_allele_l: List[int] = []
+                flank_seqs: List[bytes] = []
+                max_kmers = np.empty(V, np.int64)
+                max_total = np.empty(V, np.int64)
+                covered_keys_l: List[np.ndarray] = []
+                ALLELE_BITS = 18
+                for j, v in enumerate(block):
+                    variant = self.graph.get_variant(v)
+                    variants.append(variant)
+                    paths_arr = np.asarray(variant.paths, dtype=np.int32)
+                    record = UniqueKmersRecord(
+                        variant.get_start_position(), paths_arr
+                    )
+                    record.set_coverage(0)
+                    records.append(record)
+                    is_biallelic = bool((paths_arr <= 1).all())
+                    max_kmers[j] = 16 if is_biallelic else 32
+                    max_total[j] = max(variant.nr_of_paths(), 301)
+                    covered_keys_l.append(
+                        np.fromiter(
+                            record.alleles.keys(), np.int64,
+                            count=len(record.alleles),
+                        )
+                        + (j << ALLELE_BITS)
+                    )
+                    for a in range(variant.nr_of_alleles()):
+                        if variant.is_undefined_allele(a):
+                            record.set_undefined_allele(a)
+                            continue
+                        seg_seqs.append(variant.get_allele_sequence(a))
+                        seg_var_l.append(j)
+                        seg_allele_l.append(a)
+                    flank_seqs.append(self.graph.get_left_overhang(v, length))
+                    flank_seqs.append(self.graph.get_right_overhang(v, length))
+
+                seg_var = np.asarray(seg_var_l, np.int64)
+                seg_allele = np.asarray(seg_allele_l, np.int64)
+
+                fv = np.empty(0, np.int64)
+                fa = np.empty(0, np.int64)
+                fk = np.empty(0, np.uint64)
+                if len(seg_seqs):
+                    kmers, segs = flat_segment_kmers(seg_seqs, k)
+                    segs = segs.astype(np.int64)
+                    order = np.lexsort((kmers, segs))
+                    sk, ss = kmers[order], segs[order]
+                    new = np.ones(len(sk), bool)
+                    if len(sk) > 1:
+                        new[1:] = (ss[1:] != ss[:-1]) | (sk[1:] != sk[:-1])
+                    starts = np.flatnonzero(new)
+                    run_len = np.diff(np.append(starts, len(sk)))
+                    uniq_rows = starts[run_len == 1]
+                    u_seg = ss[uniq_rows]
+                    u_kmer = sk[uniq_rows]
+                    u_var = seg_var[u_seg]
+                    u_allele = seg_allele[u_seg]
+                    order2 = np.lexsort((u_kmer, u_var))
+                    vv, vk = u_var[order2], u_kmer[order2]
+                    va = u_allele[order2]
+                    new2 = np.ones(len(vk), bool)
+                    if len(vk) > 1:
+                        new2[1:] = (vv[1:] != vv[:-1]) | (vk[1:] != vk[:-1])
+                    starts2 = np.flatnonzero(new2)
+                    rl2 = np.diff(np.append(starts2, len(vk)))
+                    rows = starts2[rl2 == 1]
+                    cand_var = vv[rows]
+                    cand_kmer = vk[rows]
+                    cand_allele = va[rows]
+                    if len(cand_var):
+                        covered_keys = np.concatenate(covered_keys_l)
+                        cand_keys = (
+                            cand_var << ALLELE_BITS
+                        ) + cand_allele
+                        cov_ok = np.isin(cand_keys, covered_keys)
+                        gen = self.genomic_kmers.get_abundances(cand_kmer)
+                        m = cov_ok & (gen == 1)
+                        v3 = cand_var[m]
+                        a3 = cand_allele[m]
+                        k3 = cand_kmer[m]
+                        order3 = np.lexsort((k3, a3, v3))
+                        v3, a3, k3 = v3[order3], a3[order3], k3[order3]
+                        n3 = len(v3)
+                        if n3:
+                            new3 = np.ones(n3, bool)
+                            new3[1:] = (v3[1:] != v3[:-1]) | (
+                                a3[1:] != a3[:-1]
+                            )
+                            grp = np.maximum.accumulate(
+                                np.where(new3, np.arange(n3), 0)
+                            )
+                            rank = np.arange(n3) - grp
+                            keep3 = rank < max_kmers[v3]
+                            v4, a4, k4, r4 = (
+                                v3[keep3], a3[keep3], k3[keep3], rank[keep3]
+                            )
+                            order4 = np.lexsort((a4, r4, v4))
+                            v5, a5, k5 = v4[order4], a4[order4], k4[order4]
+                            n5 = len(v5)
+                            new5 = np.ones(n5, bool)
+                            if n5:
+                                new5[1:] = v5[1:] != v5[:-1]
+                            var_start = np.maximum.accumulate(
+                                np.where(new5, np.arange(n5), 0)
+                            )
+                            pos = np.arange(n5) - var_start
+                            keep5 = pos < max_total[v5]
+                            v6, a6, k6 = v5[keep5], a5[keep5], k5[keep5]
+                            order6 = np.lexsort((k6, a6, v6))
+                            fv, fa, fk = v6[order6], a6[order6], k6[order6]
+
+                # flanks: <=12 genome-unique kmers per side
+                fkm, fsg = flat_segment_kmers(flank_seqs, k)
+                fsg = fsg.astype(np.int64)
+                orderF = np.lexsort((fkm, fsg))
+                fkm, fsg = fkm[orderF], fsg[orderF]
+                newF = np.ones(len(fkm), bool)
+                if len(fkm) > 1:
+                    newF[1:] = (fsg[1:] != fsg[:-1]) | (fkm[1:] != fkm[:-1])
+                startsF = np.flatnonzero(newF)
+                rlF = np.diff(np.append(startsF, len(fkm)))
+                rowsF = startsF[rlF == 1]
+                segF = fsg[rowsF]
+                kmF = fkm[rowsF]
+                if len(rowsF):
+                    genF = self.genomic_kmers.get_abundances(kmF)
+                    g1 = genF == 1
+                    cs = np.cumsum(g1)
+                    seg_new = np.ones(len(segF), bool)
+                    seg_new[1:] = segF[1:] != segF[:-1]
+                    base = np.maximum.accumulate(
+                        np.where(seg_new, cs - g1, 0)
+                    )
+                    r = cs - g1 - base
+                    chosen = g1 & (r < 12)
+                    segF, kmF = segF[chosen], kmF[chosen]
+
+                # per-record insert + bulk TSV
+                for j in range(V):
+                    lo = int(np.searchsorted(fv, j))
+                    hi = int(np.searchsorted(fv, j + 1))
+                    record = records[j]
+                    if hi > lo:
+                        record._kmer_counts = np.zeros(hi - lo, np.int32)
+                        record.allele_data = fa[lo:hi].astype(np.int32)
+                        record.allele_indptr = np.arange(
+                            hi - lo + 1, dtype=np.int32
+                        )
+                        for a in np.unique(fa[lo:hi]).tolist():
+                            record.alleles.setdefault(int(a), False)
+                    result.append(record)
+                kmer_strs_all = decode_kmers_bulk(fk, k)
+                flank_strs_all = decode_kmers_bulk(kmF, k)
+                row_off = np.searchsorted(fv, np.arange(V + 1))
+                flank_var = segF // 2
+                frow_off = np.searchsorted(flank_var, np.arange(V + 1))
+                lines: List[str] = []
+                for j in range(V):
+                    variant = variants[j]
+                    ks = kmer_strs_all[row_off[j]:row_off[j + 1]]
+                    fs = flank_strs_all[frow_off[j]:frow_off[j + 1]]
+                    lines.append(
+                        f"{variant.chromosome}\t"
+                        f"{variant.get_start_position()}\t"
+                        f"{variant.get_end_position()}\t"
+                        f"{b','.join(ks).decode() if len(ks) else 'nan'}\t"
+                        f"{b','.join(fs).decode() if len(fs) else 'nan'}\n"
+                    )
+                out.write("".join(lines))
+
+                if delete_processed_variants:
+                    first = block[0]
+                    if first > 0:
+                        self.graph.delete_variant(first - 1)
+                    for v in block[:-1]:
+                        self.graph.delete_variant(v)
+                    if block[-1] == nr_variants - 1:
+                        self.graph.delete_variant(block[-1])
+        return result
+
+    def compute_unique_kmers_reference(
+        self, tsv_filename: str, delete_processed_variants: bool = False
+    ) -> List[UniqueKmersRecord]:
         import gzip
 
         from .mer import unique_kmers_of_allele
