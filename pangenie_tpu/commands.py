@@ -18,6 +18,8 @@ import os
 import pickle
 import sys
 import time
+
+import numpy as np
 from dataclasses import dataclass, field
 from typing import Dict, List
 
@@ -848,15 +850,36 @@ def run_single_command(
     summary.phase("writing Graph objects to disk")
 
     _log("Determine unique kmers ...")
-    for chromosome in chromosomes:
+
+    def _select_chromosome(chromosome: str):
         graph = builder.graphs[chromosome]
         computer = UniqueKmerComputer(
             genomic_kmer_counts, read_kmer_counts, graph, kmer_abundance_peak
         )
-        records = computer.compute_unique_kmers(
+        return chromosome, computer.compute_unique_kmers(
             probabilities, delete_processed_variants=True
         )
-        unique_kmers_list.unique_kmers[chromosome] = records
+
+    # pre-touch the lookup structures so the shared hash indexes build
+    # once, not racily per worker thread
+    _probe = np.zeros(1, dtype=np.uint64)
+    genomic_kmer_counts.get_abundances(_probe)
+    read_kmer_counts.get_abundances(_probe)
+    # one selection task per chromosome over the -t worker pool
+    # (reference src/commands.cpp:366-379); numpy sorts and the native
+    # lookups release the GIL, so 2 host cores overlap well
+    if nr_core_threads > 1 and len(chromosomes) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=nr_core_threads) as pool:
+            for chromosome, records in pool.map(
+                _select_chromosome, chromosomes
+            ):
+                unique_kmers_list.unique_kmers[chromosome] = records
+    else:
+        for chromosome in chromosomes:
+            chromosome, records = _select_chromosome(chromosome)
+            unique_kmers_list.unique_kmers[chromosome] = records
     summary.phase("determining unique kmers")
 
     if panel_size > 0 or output_panel:
