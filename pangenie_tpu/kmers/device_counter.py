@@ -887,7 +887,14 @@ def count_file_primed_device(
                 rows = buckets == L
                 row_starts = starts_k[rows]
                 row_lens = lens_k[rows]
-                rows_per = max(1, block_bases // int(L))
+                # size batches so (at least) two fit in the flush
+                # buffer: each flush then amortizes the graph-table
+                # sort over twice the read volume
+                win = max(1, int(L) - k + 1)
+                rows_per = max(1, min(
+                    block_bases // int(L),
+                    (counter._capacity // 2 - 8) // win,
+                ))
                 n_rows = len(row_starts)
                 for lo in range(0, n_rows, rows_per):
                     cs = row_starts[lo: lo + rows_per]
