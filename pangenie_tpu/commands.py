@@ -475,16 +475,31 @@ def _genotyping_block(
 
     all_runs: List[tuple] = []
     base_index: Dict[str, int] = {}  # chromosome -> min global run index
-    dense_cache: Dict[str, object] = {}
     cols_cache: Dict[tuple, tuple] = {}  # (chrom, paths) -> built columns
+    # chromosome-level densification shared by every subset run; built
+    # in parallel (bulk numpy releases the GIL)
+    local_chroms = []
+    for idx in local_indices:
+        chromosome = run_specs[idx][0]
+        if chromosome not in local_chroms:
+            local_chroms.append(chromosome)
+
+    def _densify(chromosome):
+        records = unique_kmers_list.unique_kmers[chromosome]
+        return chromosome, (
+            densify_records(records, probabilities) if records else None
+        )
+
+    if len(local_chroms) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(local_chroms))) as p:
+            dense_cache = dict(p.map(_densify, local_chroms))
+    else:
+        dense_cache = dict(map(_densify, local_chroms))
     for idx in local_indices:
         chromosome, is_genotyping, paths = run_specs[idx]
         records = unique_kmers_list.unique_kmers[chromosome]
-        if chromosome not in dense_cache:
-            # chromosome-level densification shared by every subset run
-            dense_cache[chromosome] = (
-                densify_records(records, probabilities) if records else None
-            )
         base_index.setdefault(chromosome, idx)
         cols_key = (chromosome, tuple(paths))
         hmm = PairHMM(
