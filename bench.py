@@ -1,24 +1,31 @@
-"""Driver benchmark: three JSON lines covering the pipeline's metrics.
+"""Driver benchmark: JSON lines covering the pipeline's metrics.
 
-Line 1  kmer_count_device_primed_mbps — the genotype-phase read-counting
-        engine (PRIME+UPDATE streaming against a fixed graph-kmer table,
-        kmers/device_counter.py) on a synthetic-genome workload.
-        vs_baseline: the reference's only end-to-end number implies its
-        Jellyfish phase streams ~90 Gbp of 30x reads inside the 55-min
-        24-core genotyping wall (BASELINE.md) => >=27.3 Mbp/s.
+Run order is budget-aware (VERDICT r03: the 50 Mb e2e stage blew the
+driver's time budget before the flagship HMM metric ever printed, so
+round 3 shipped rc=124 with only the k-mer line captured):
 
-Line 2  e2e_genotype_variants_per_sec — a full simulated genotyping run
-        (graph build, counting, unique-kmer selection, HMM, VCF write)
-        via run_single_command, measured in genotyped variants/sec
-        including XLA compiles. vs_baseline: the reference genotypes
-        36M variants in 55 min on 24 cores => 10,909 variants/sec.
-
-Line 3  hmm_variant_columns_per_sec_per_chip — the HMM hot loop
-        (batched f32 forward-backward pair-HMM), same shape and sync
-        discipline as round 1 so the numbers stay comparable.
-        vs_baseline: columns/sec against the reference's implied
-        10,909 end-to-end columns/sec (upper-bound-flavored: this
-        covers the dominant compute phase only).
+1. hmm_variant_columns_per_sec_per_chip — the HMM hot loop (batched
+   f32 forward-backward pair-HMM), same shape and sync discipline as
+   rounds 1-2 so the numbers stay comparable. Runs FIRST so the
+   flagship metric is always captured.
+2. kmer_count_device_primed_mbps — the genotype-phase read-counting
+   engine (PRIME+UPDATE streaming against a fixed graph-kmer table,
+   kmers/device_counter.py). vs_baseline: the reference's only e2e
+   number implies its Jellyfish phase streams ~90 Gbp of 30x reads
+   inside the 55-min 24-core genotyping wall (BASELINE.md)
+   => >=27.3 Mbp/s.
+3. e2e_genotype_variants_per_sec — a full simulated genotyping run
+   (graph build, counting, unique-kmer selection, HMM, VCF write) via
+   run_single_command. The workload SIZE adapts to the remaining wall
+   budget (PANGENIE_BENCH_BUDGET_S, default 1500 s): 20 Mb when ample,
+   10 Mb when tight, a skip line when exhausted. Simulated inputs are
+   cached under /tmp so repeated driver runs skip simulation.
+   vs_baseline: the reference genotypes 36M variants in 55 min on 24
+   cores => 10,909 variants/sec.
+4. The HMM line from step 1 is RE-PRINTED verbatim as the final line:
+   the driver records the last JSON line as the round's parsed metric,
+   and that metric must stay the HMM line for r01/r02 comparability
+   regardless of how far the budget let steps 2-3 run.
 
 Timing honesty: on the tunneled TPU backend, ``block_until_ready`` can
 return before the device has executed anything, and repeated identical
@@ -31,12 +38,18 @@ complete before the run has.
 import json
 import os
 import sys
-import tempfile
 import time
 import traceback
 
 BASELINE_COLUMNS_PER_SEC = 36_000_000 / (55 * 60)  # reference README.md:254
 BASELINE_KMER_MBPS = 90_000 / (55 * 60)  # 30x human reads in the same wall
+
+_START = time.monotonic()
+_BUDGET_S = float(os.environ.get("PANGENIE_BENCH_BUDGET_S", "1500"))
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.monotonic() - _START)
 
 
 def _ensure_backend() -> None:
@@ -72,6 +85,14 @@ def bench_kmers() -> None:
     the table — the final count mass is asserted equal to the total
     window count across all runs.
     """
+    if _remaining() < 300:
+        print(json.dumps({
+            "metric": "kmer_count_device_primed_mbps", "value": None,
+            "unit": "Mbp/s", "skipped": True,
+            "reason": f"budget exhausted ({_remaining():.0f}s left)",
+            "vs_baseline": None,
+        }), flush=True)
+        return
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -140,66 +161,86 @@ def bench_kmers() -> None:
 def bench_e2e() -> None:
     """Genome-scale end-to-end genotyping: variants/sec.
 
-    Workload (VERDICT r02 item 3): 50 Mb over 5 chromosomes, 61
-    diploid samples = 123 haplotype paths (auto-sampling to 15
-    engages, as on every real panel), reference-like variant density
-    (~270k variants), 12x error-prone 150 bp reads (~600 Mbp).
+    Workload: multi-chromosome simulated panel, 61 diploid samples =
+    123 haplotype paths (auto-sampling to 15 engages, as on every real
+    panel), reference-like variant density, 12x error-prone 150 bp
+    reads. The SIZE adapts to the remaining budget so the stage always
+    finishes inside the driver's timeout (VERDICT r03 item 1).
 
     The full `single` pipeline runs TWICE in-process: the first (cold)
     run pays XLA compiles — minutes-scale on the tunneled backend and
-    not cacheable across processes (a persistent-cache entry still
-    recompiled in 437 s when loaded from a fresh process) — the second
-    run is the steady state. Both walls are reported; vs_baseline uses
-    the warm number. Per-phase wall summaries for both runs print to
-    stderr above the JSON line, so host-bound phases (VCF parse,
-    selection — 2 CPU cores here vs the reference baseline's 24) are
-    attributable.
+    not cacheable across processes — the second run is the steady
+    state. Both walls are reported; vs_baseline uses the warm number.
+    Per-phase wall summaries for both runs print to stderr above the
+    JSON line, so host-bound phases are attributable.
     """
     import types
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # budget-adaptive sizing: the warm+cold pair plus input simulation
+    # costs are roughly linear in Mb; pick the largest size that fits.
+    remaining = _remaining()
+    if remaining > 700:
+        mb, chroms = 20.0, 2
+    elif remaining > 350:
+        mb, chroms = 10.0, 2
+    else:
+        print(json.dumps({
+            "metric": "e2e_genotype_variants_per_sec", "value": None,
+            "unit": "variants/s", "skipped": True,
+            "reason": f"budget exhausted ({remaining:.0f}s left of "
+                      f"{_BUDGET_S:.0f}s)",
+            "vs_baseline": None,
+        }), flush=True)
+        return
     from benchmarks.genome_scale import build_inputs
     from pangenie_tpu.commands import run_single_command
     from pangenie_tpu.eval.concordance import genotype_concordance
 
     args = types.SimpleNamespace(
-        mb=50.0, chroms=5, samples=61, coverage=12.0, read_len=150,
+        mb=mb, chroms=chroms, samples=61, coverage=12.0, read_len=150,
         distance=150, seed=11,
     )
-    with tempfile.TemporaryDirectory(prefix="pangenie_bench_") as workdir:
-        casedir = build_inputs(args, workdir)
-        outpref = os.path.join(casedir, "out")
-        walls = []
-        for rep in range(2):
-            t0 = time.monotonic()
-            run_single_command(
-                os.path.join(casedir, "reads.fa"),
-                os.path.join(casedir, "ref.fa"),
-                os.path.join(casedir, "panel.vcf"),
-                31,
-                outpref,
-                nr_jellyfish_threads=2,
-                nr_core_threads=2,
-            )
-            walls.append(time.monotonic() - t0)
-        result = genotype_concordance(
-            outpref + "_genotyping.vcf", os.path.join(casedir, "truth.vcf")
+    # persistent cache: repeated driver runs skip the (minutes-scale on
+    # this 2-core host) input simulation
+    workdir = os.environ.get("PANGENIE_BENCH_WORKDIR", "/tmp/pg_bench")
+    casedir = build_inputs(args, workdir)
+    outpref = os.path.join(casedir, "out")
+    walls = []
+    for rep in range(2):
+        t0 = time.monotonic()
+        run_single_command(
+            os.path.join(casedir, "reads.fa"),
+            os.path.join(casedir, "ref.fa"),
+            os.path.join(casedir, "panel.vcf"),
+            31,
+            outpref,
+            nr_jellyfish_threads=2,
+            nr_core_threads=2,
         )
-        value = result.total / walls[-1]
-        print(json.dumps({
-            "metric": "e2e_genotype_variants_per_sec",
-            "value": round(value, 1),
-            "unit": "variants/s",
-            "warm_wall_s": round(walls[-1], 2),
-            "cold_wall_s": round(walls[0], 2),
-            "variants": result.total,
-            "length_bp": int(args.mb * 1_000_000),
-            "chromosomes": args.chroms,
-            "paths": 2 * args.samples + 1,
-            "coverage": args.coverage,
-            "concordance": round(result.concordance, 5),
-            "vs_baseline": round(value / BASELINE_COLUMNS_PER_SEC, 3),
-        }), flush=True)
+        walls.append(time.monotonic() - t0)
+        if rep == 0 and _remaining() < walls[0] * 0.7:
+            # not enough budget for the warm rep: report cold-only
+            break
+    result = genotype_concordance(
+        outpref + "_genotyping.vcf", os.path.join(casedir, "truth.vcf")
+    )
+    value = result.total / walls[-1]
+    print(json.dumps({
+        "metric": "e2e_genotype_variants_per_sec",
+        "value": round(value, 1),
+        "unit": "variants/s",
+        "warm": len(walls) > 1,
+        "warm_wall_s": round(walls[-1], 2),
+        "cold_wall_s": round(walls[0], 2),
+        "variants": result.total,
+        "length_bp": int(args.mb * 1_000_000),
+        "chromosomes": args.chroms,
+        "paths": 2 * args.samples + 1,
+        "coverage": args.coverage,
+        "concordance": round(result.concordance, 5),
+        "vs_baseline": round(value / BASELINE_COLUMNS_PER_SEC, 3),
+    }), flush=True)
 
 
 def bench_hmm() -> None:
@@ -262,7 +303,7 @@ def bench_hmm() -> None:
     assert scan_dispatch == "xla_scan", scan_dispatch
 
     columns_per_sec = B * N / elapsed
-    print(json.dumps({
+    line = {
         "metric": "hmm_variant_columns_per_sec_per_chip",
         "value": round(columns_per_sec, 1),
         "unit": "columns/s",
@@ -271,7 +312,9 @@ def bench_hmm() -> None:
         "xla_scan_ms_per_batch": round(scan_elapsed * 1000, 1),
         "kernel_speedup_vs_scan": round(scan_elapsed / elapsed, 2),
         "vs_baseline": round(columns_per_sec / BASELINE_COLUMNS_PER_SEC, 3),
-    }), flush=True)
+    }
+    print(json.dumps(line), flush=True)
+    return line
 
 
 def main() -> None:
@@ -283,19 +326,26 @@ def main() -> None:
         sys.exit(2)
     _ensure_backend()
     which = set(sys.argv[1:]) or known
-    # hmm last: the driver's primary parsed metric, comparable to r01
-    for name, fn in (("kmers", bench_kmers), ("e2e", bench_e2e),
-                     ("hmm", bench_hmm)):
+    # hmm FIRST (flagship metric always captured), then kmers, then the
+    # budget-adaptive e2e; the hmm line re-prints last so the driver's
+    # parsed (last) line stays comparable to r01/r02.
+    hmm_line = None
+    for name, fn in (("hmm", bench_hmm), ("kmers", bench_kmers),
+                     ("e2e", bench_e2e)):
         if name not in which:
             continue
         try:
-            fn()
+            result = fn()
+            if name == "hmm":
+                hmm_line = result
         except Exception:
             traceback.print_exc()
             print(json.dumps({
                 "metric": f"bench_{name}_failed", "value": None,
                 "unit": "", "vs_baseline": None,
             }), flush=True)
+    if hmm_line is not None and which != {"hmm"}:
+        print(json.dumps(hmm_line), flush=True)
 
 
 if __name__ == "__main__":
