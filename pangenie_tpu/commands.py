@@ -484,10 +484,16 @@ def _genotyping_block(
         if chromosome not in local_chroms:
             local_chroms.append(chromosome)
 
+    import jax.numpy as jnp
+
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+
     def _densify(chromosome):
         records = unique_kmers_list.unique_kmers[chromosome]
         return chromosome, (
-            densify_records(records, probabilities) if records else None
+            densify_records(records, probabilities, np_dtype)
+            if records
+            else None
         )
 
     if len(local_chroms) > 1:

@@ -43,7 +43,6 @@ class HMMColumns:
     kmer_mask: np.ndarray        # [N, K] valid kmer
     coverage: np.ndarray         # [N] local coverage
     log_probs: np.ndarray        # [N, K, 3] log P(count | CN)
-    probs: np.ndarray            # [N, K, 3] linear P(count | CN)
     all_zeros: np.ndarray        # [N] full-panel emission matrix all-zero
     local_alleles: np.ndarray    # [N, A] global allele ids, -1 padded
     allele_local: np.ndarray     # [N, P] local index of alleles[n, p]
@@ -85,33 +84,49 @@ def transition_probs(
     return np.stack([stay * stay, stay * recomb, recomb * recomb], axis=1)
 
 
-def _probability_grid(
-    table: ProbabilityTable, coverage: np.ndarray, counts: np.ndarray, mask: np.ndarray
+def _log_probability_grid(
+    table: ProbabilityTable,
+    coverage: np.ndarray,
+    counts: np.ndarray,
+    mask: np.ndarray,
+    dtype=np.float64,
 ) -> np.ndarray:
-    """Vectorized [N, K, 3] P(count | CN) at per-column coverage."""
+    """Vectorized [N, K, 3] log P(count | CN) at per-column coverage.
+
+    Gathers directly from a cached LOG table in the target dtype: log
+    magnitudes stay small, so float32 keeps the exact positivity
+    structure (isfinite(lp) == p > 0) that linear float32 would flush
+    away — and the gather moves half the bytes of the old f64 grid.
+    """
     N, K = counts.shape
+    dtype = np.dtype(dtype)
     cov = coverage.astype(np.int64)
     cnt = counts.astype(np.int64)
     cov_ok = (cov >= table.cov_min) & (cov < table.cov_max)
     in_table = cov_ok[:, None] & (cnt < table.count_max) & mask
-    if table.table.size:
+    log_table = table.log_table(dtype)
+    if log_table.size:
         # clipped direct gather + mask (avoids the boolean fancy-index
         # temporaries that dominated the densify profile)
-        cov_idx = np.clip(cov - table.cov_min, 0, table.table.shape[1] - 1)
-        cnt_idx = np.minimum(cnt, table.table.shape[0] - 1)
-        gathered = table.table[cnt_idx, cov_idx[:, None]]  # [N, K, 3]
-        out = np.where(in_table[:, :, None], gathered, 0.0)
+        cov_idx = np.clip(cov - table.cov_min, 0, log_table.shape[1] - 1)
+        cnt_idx = np.minimum(cnt, log_table.shape[0] - 1)
+        gathered = log_table[cnt_idx, cov_idx[:, None]]  # [N, K, 3]
+        out = np.where(in_table[:, :, None], gathered, -np.inf)
+        out[~mask] = 0.0  # padding slots carry no (-inf) signal
     else:
-        out = np.zeros((N, K, 3), dtype=np.float64)
+        out = np.zeros((N, K, 3), dtype=dtype)
+        out[in_table] = -np.inf
     oob = mask & ~in_table
     if np.any(oob):
         # fall back per unique (cov, count) pair
         cov2 = np.broadcast_to(cov[:, None], (N, K))
         pairs = np.stack([cov2[oob], cnt[oob]], axis=1)
         uniq, inverse = np.unique(pairs, axis=0, return_inverse=True)
-        vals = np.stack(
+        lin = np.stack(
             [table.compute_probability(int(c), int(x)) for c, x in uniq]
         )
+        with np.errstate(divide="ignore"):
+            vals = np.where(lin > 0, np.log(lin), -np.inf).astype(dtype)
         out[oob] = vals[inverse]
     return out
 
@@ -119,7 +134,7 @@ def _probability_grid(
 def _compute_all_zeros(
     records: Sequence[UniqueKmersRecord],
     kept: np.ndarray,
-    probs: np.ndarray,
+    log_probs: np.ndarray,
     kmer_mask: np.ndarray,
 ) -> np.ndarray:
     """Per-column flag: full-panel emission matrix identically zero.
@@ -128,15 +143,17 @@ def _compute_all_zeros(
     ALL allele ids the record knows (including alleles introduced only
     by kmers). Exact zeros only arise from zero copy-number
     probabilities (e.g. test-injected overrides), so columns with
-    all-positive probs short-circuit.
+    all-finite log probs short-circuit.
     """
     N = len(kept)
     all_zeros = np.zeros(N, dtype=bool)
-    suspicious = ~np.all((probs > 0) | ~kmer_mask[:, :, None], axis=(1, 2))
+    suspicious = ~np.all(
+        np.isfinite(log_probs) | ~kmer_mask[:, :, None], axis=(1, 2)
+    )
     for n in np.nonzero(suspicious)[0]:
         record = records[kept[n]]
         allele_ids = record.get_allele_ids()
-        col_probs = probs[n]
+        col_probs = np.exp(log_probs[n].astype(np.float64))
         k_mask = kmer_mask[n]
         found_nonzero = False
         for a1 in allele_ids:
@@ -189,7 +206,6 @@ class DenseRecords:
     undefined: np.ndarray      # [R, A]
     full_local: np.ndarray     # [R, P_full] local index per path allele
     incidence: np.ndarray      # [R, K, A]
-    probs: np.ndarray          # [R, K, 3]
     log_probs: np.ndarray      # [R, K, 3]
     all_zeros: np.ndarray      # [R]
 
@@ -220,12 +236,15 @@ def _ranks_in_sorted_rows(
 def densify_records(
     records: Sequence[UniqueKmersRecord],
     probabilities: ProbabilityTable,
+    dtype=np.float64,
 ) -> DenseRecords:
     """Bulk numpy densification over the records' array internals.
 
     The per-column Python loops this replaces were the genome-scale
     host wall (the reference does the equivalent work inside its C++
-    thread pool, src/commands.cpp:76-152).
+    thread pool, src/commands.cpp:76-152). ``dtype`` is the HMM device
+    dtype: the log-probability grid is built directly in it (float32 on
+    TPU halves the densify bytes and the host->device transfer).
     """
     if not records:
         raise RuntimeError("densify_records: no variant records.")
@@ -326,11 +345,11 @@ def densify_records(
                 rows_e[sl][present], cols_e[sl][present], li[present]
             ] = True
 
-    probs = _probability_grid(probabilities, coverage, kmer_counts, kmer_mask)
-    with np.errstate(divide="ignore"):
-        log_probs = np.where(probs > 0, np.log(np.maximum(probs, 1e-300)), -np.inf)
+    log_probs = _log_probability_grid(
+        probabilities, coverage, kmer_counts, kmer_mask, dtype
+    )
     all_zeros = _compute_all_zeros(
-        records, np.arange(R, dtype=np.int64), probs, kmer_mask
+        records, np.arange(R, dtype=np.int64), log_probs, kmer_mask
     )
 
     return DenseRecords(
@@ -344,7 +363,6 @@ def densify_records(
         undefined=undefined,
         full_local=full_local,
         incidence=incidence,
-        probs=probs,
         log_probs=log_probs,
         all_zeros=all_zeros,
     )
@@ -355,6 +373,7 @@ def build_columns(
     probabilities: ProbabilityTable,
     only_paths: Optional[Sequence[int]] = None,
     dense: Optional[DenseRecords] = None,
+    dtype=np.float64,
 ) -> HMMColumns:
     """Dense HMM inputs for one (chromosome, path-subset) run.
 
@@ -365,7 +384,7 @@ def build_columns(
     if not records:
         raise RuntimeError("build_columns: no variant records.")
     if dense is None:
-        dense = densify_records(records, probabilities)
+        dense = densify_records(records, probabilities, dtype)
 
     nr_total_paths = dense.full.shape[1]
     if only_paths is not None:
@@ -398,8 +417,7 @@ def build_columns(
             incidence=np.zeros((0, K, 1), dtype=bool),
             kmer_mask=np.zeros((0, K), dtype=bool),
             coverage=np.zeros(0, dtype=np.int32),
-            log_probs=np.zeros((0, K, 3), dtype=np.float64),
-            probs=np.zeros((0, K, 3), dtype=np.float64),
+            log_probs=np.zeros((0, K, 3), dtype=dense.log_probs.dtype),
             all_zeros=np.zeros(0, dtype=bool),
             local_alleles=np.full((0, 1), -1, dtype=np.int32),
             allele_local=np.zeros((0, P), dtype=np.int32),
@@ -417,7 +435,6 @@ def build_columns(
         kmer_mask=dense.kmer_mask[kept_arr],
         coverage=dense.coverage[kept_arr],
         log_probs=dense.log_probs[kept_arr],
-        probs=dense.probs[kept_arr],
         all_zeros=dense.all_zeros[kept_arr],
         local_alleles=dense.local_alleles[kept_arr],
         allele_local=sub_local[kept_arr],

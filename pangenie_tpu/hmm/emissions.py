@@ -44,7 +44,6 @@ import jax.numpy as jnp
 
 def log_emission_allele_matrix(
     lp,            # [K, 3] log probs (may contain -inf)
-    pr,            # [K, 3] linear probs
     incidence,     # [K, A] kmer-on-allele (bool/0-1)
     kmer_mask,     # [K] bool
     undefined,     # [A] bool — allele is undefined
@@ -64,15 +63,22 @@ def log_emission_allele_matrix(
         jnp.where(kmer_mask[:, None, None], contrib, 0.0), axis=0
     )  # [A, A]
 
-    # undefined marginals (linear space, then log)
-    p0, p1, p2 = pr[:, 0], pr[:, 1], pr[:, 2]
-    g0 = jnp.log(0.5 * (p0 + p1))
-    g1 = jnp.log(0.5 * (p1 + p2))
+    # undefined marginals, computed in LOG space: logaddexp keeps tiny
+    # probabilities finite where a float32 linear sum would flush to
+    # zero (the linear-space form needed a second [K, 3] linear-prob
+    # array shipped to the device; reference semantics
+    # src/emissionprobabilitycomputer.cpp:40-46)
+    l0, l1, l2 = lp[:, 0], lp[:, 1], lp[:, 2]
+    log_half = jnp.log(jnp.asarray(0.5, lp.dtype))
+    g0 = jnp.logaddexp(l0, l1) + log_half
+    g1 = jnp.logaddexp(l1, l2) + log_half
     contrib_r = jnp.where(c >= 1, g1[:, None, None], g0[:, None, None])
     logR = jnp.sum(
         jnp.where(kmer_mask[:, None, None], contrib_r, 0.0), axis=0
     )  # [A, A]
-    suu_k = jnp.log((p0 + p1 + p2) / 3.0)
+    suu_k = jnp.logaddexp(jnp.logaddexp(l0, l1), l2) - jnp.log(
+        jnp.asarray(3.0, lp.dtype)
+    )
     suu = jnp.sum(jnp.where(kmer_mask, suu_k, 0.0))
 
     und1 = undefined[:, None]
@@ -84,7 +90,6 @@ def log_emission_allele_matrix(
 
 def log_emission_column(
     lp,            # [K, 3]
-    pr,            # [K, 3]
     incidence,     # [K, A]
     kmer_mask,     # [K]
     allele_local,  # [P] local allele index per path
@@ -94,7 +99,7 @@ def log_emission_column(
 ):
     """Return logE [P, P]: allele-space matrix gathered to state space."""
     logEA = log_emission_allele_matrix(
-        lp, pr, incidence, kmer_mask, undefined, all_zeros, scale
+        lp, incidence, kmer_mask, undefined, all_zeros, scale
     )
     return logEA[jnp.ix_(allele_local, allele_local)]
 

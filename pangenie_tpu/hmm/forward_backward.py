@@ -34,7 +34,6 @@ class ColumnArrays(NamedTuple):
     """Stacked per-column device inputs (leading axis = column)."""
 
     lp: jax.Array          # [N, K, 3]
-    pr: jax.Array          # [N, K, 3]
     incidence: jax.Array   # [N, K, A] kmer-on-allele (local allele ids)
     kmer_mask: jax.Array   # [N, K]
     alleles: jax.Array     # [N, P] global allele ids (host scatter only)
@@ -51,7 +50,6 @@ class ColumnArrays(NamedTuple):
 def _emission(col: ColumnArrays):
     return log_emission_column(
         col.lp,
-        col.pr,
         col.incidence,
         col.kmer_mask,
         col.allele_local,
@@ -74,7 +72,6 @@ def _allele_emissions(columns: ColumnArrays) -> jax.Array:
     """
     logEA = jax.vmap(log_emission_allele_matrix)(
         columns.lp,
-        columns.pr,
         columns.incidence,
         columns.kmer_mask,
         columns.undefined,

@@ -65,7 +65,6 @@ def _to_device_columns(
         )
 
     lp = columns.log_probs
-    pr = columns.probs
     incidence = columns.incidence
     kmer_mask = columns.kmer_mask
     alleles = columns.alleles
@@ -98,7 +97,6 @@ def _to_device_columns(
 
         if Kp != K or Ap != A or Np != N:
             lp = pad(lp, (Np, Kp, 3))
-            pr = pad(pr, (Np, Kp, 3))
             incidence = pad(incidence, (Np, Kp, Ap))
             kmer_mask = pad(kmer_mask, (Np, Kp))
             alleles = pad(alleles, (Np, P))
@@ -125,7 +123,6 @@ def _to_device_columns(
         scale_np = np.sum(m, axis=-1).astype(np_dtype)
         return ColumnArrays(
             lp=lp.astype(np_dtype),
-            pr=pr.astype(np_dtype),
             incidence=incidence,
             kmer_mask=kmer_mask,
             alleles=alleles,
@@ -143,7 +140,6 @@ def _to_device_columns(
     scale = emission_scale(lp_j, kmer_mask_j)
     return ColumnArrays(
         lp=lp_j,
-        pr=jnp.asarray(pr, dtype),
         incidence=jnp.asarray(incidence),
         kmer_mask=kmer_mask_j,
         alleles=jnp.asarray(alleles),
@@ -212,7 +208,10 @@ class PairHMM:
                 self._execute()
             self.runtime += _time.monotonic() - _t0
             return
-        columns = build_columns(records, probabilities, only_paths, dense=dense)
+        columns = build_columns(
+            records, probabilities, only_paths, dense=dense,
+            dtype=np.dtype(jnp.dtype(dtype).name),
+        )
         self.columns = columns
         self.device_cols = None
         if columns.n_columns > self.SEGMENT:

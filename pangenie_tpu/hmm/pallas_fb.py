@@ -388,7 +388,7 @@ def _column_buckets(nr_local_np):
 
 
 @partial(jax.jit, static_argnames=("a_s", "P"))
-def _bucket_emission_rows(lp, pr, incidence, kmer_mask, undefined,
+def _bucket_emission_rows(lp, incidence, kmer_mask, undefined,
                           all_zeros, scale, allele_local, a_s: int, P: int):
     """[Mb, P, P] linear state emissions for one bucket.
 
@@ -400,7 +400,7 @@ def _bucket_emission_rows(lp, pr, incidence, kmer_mask, undefined,
 
     dtype = lp.dtype
     EA = jnp.exp(jax.vmap(log_emission_allele_matrix)(
-        lp, pr, incidence, kmer_mask, undefined, all_zeros, scale
+        lp, incidence, kmer_mask, undefined, all_zeros, scale
     ))  # [Mb, a_s, a_s]
     Mb = EA.shape[0]
     E = jnp.zeros((Mb, P, P), dtype)
@@ -449,7 +449,6 @@ def bucketed_state_emissions(columns: ColumnArrays) -> jax.Array:
         a_s = min(a_b, A)
         E_b = _bucket_emission_rows(
             flat.lp[gidx],
-            flat.pr[gidx],
             flat.incidence[gidx][:, :, :a_s],
             flat.kmer_mask[gidx],
             flat.undefined[gidx][:, :a_s],

@@ -48,7 +48,6 @@ def _log_allele_emissions(columns: ColumnArrays) -> jnp.ndarray:
     max-plus scan mirrors forward_backward._allele_emissions)."""
     return jax.vmap(log_emission_allele_matrix)(
         columns.lp,
-        columns.pr,
         columns.incidence,
         columns.kmer_mask,
         columns.undefined,

@@ -52,7 +52,12 @@ class UniqueKmersRecord:
         "alleles",
     )
 
-    def __init__(self, variant_position: int, path_to_allele: Sequence[int]):
+    def __init__(
+        self,
+        variant_position: int,
+        path_to_allele: Sequence[int],
+        covered: Optional[Sequence[int]] = None,
+    ):
         self.variant_position = int(variant_position)
         self.path_to_allele = np.asarray(path_to_allele, dtype=np.int32)
         self.coverage = 0
@@ -61,9 +66,14 @@ class UniqueKmersRecord:
         self.allele_indptr = np.zeros(1, dtype=np.int32)
         # allele id -> is_undefined; key set = alleles covered by paths
         # (+ any alleles later introduced by insert_kmer, mirroring the
-        # reference's operator[] behaviour)
+        # reference's operator[] behaviour). ``covered`` lets bulk
+        # callers pass the precomputed unique path-allele set (the
+        # per-record np.unique was a selection-header hot spot).
         self.alleles: Dict[int, bool] = dict.fromkeys(
-            np.unique(self.path_to_allele).tolist(), False
+            np.unique(self.path_to_allele).tolist()
+            if covered is None
+            else covered,
+            False,
         )
 
     # -- list-compat views (tests mutate these directly) -----------------
@@ -536,48 +546,58 @@ class UniqueKmerComputer:
         min_cov = self.kmer_coverage // 4
         max_cov = self.kmer_coverage * 4
 
+        hdr = self.graph.selection_header()
+        chrom_seq = hdr.chrom_seq
+        max_total_chrom = max(hdr.paths.shape[1], 301)
         for block_start in range(0, nr_variants, self.BLOCK):
             block = range(
                 block_start, min(block_start + self.BLOCK, nr_variants)
             )
             V = len(block)
+            block_end = block_start + V
             records: List[UniqueKmersRecord] = []
             seg_seqs: List[bytes] = []
             seg_var_l: List[int] = []
             seg_allele_l: List[int] = []
             flank_seqs: List[bytes] = []
-            max_kmers = np.empty(V, np.int64)
-            max_total = np.empty(V, np.int64)
-            covered_keys_l: List[np.ndarray] = []
             ALLELE_BITS = 18  # allele ids < 2^17 (65534 + 2*samples)
+            # bulk header arrays for the block (one slice each instead
+            # of a numpy-op pipeline per variant)
+            max_kmers = np.where(
+                hdr.is_biallelic[block_start:block_end], 16, 32
+            ).astype(np.int64)
+            max_total = np.full(V, max_total_chrom, np.int64)
+            starts_l = hdr.starts[block_start:block_end].tolist()
+            ends_l = hdr.ends[block_start:block_end].tolist()
+            left_lo_l = hdr.left_lo[block_start:block_end].tolist()
+            right_hi_l = hdr.right_hi[block_start:block_end].tolist()
+            cov_ptr = hdr.covered_indptr
+            cov_lo, cov_hi = int(cov_ptr[block_start]), int(cov_ptr[block_end])
+            cov_counts = np.diff(cov_ptr[block_start:block_end + 1])
+            covered_keys = hdr.covered_data[cov_lo:cov_hi] + (
+                np.repeat(np.arange(V, dtype=np.int64), cov_counts)
+                << ALLELE_BITS
+            )
+            covered_flat = hdr.covered_data[cov_lo:cov_hi].tolist()
+            cov_off = (cov_ptr[block_start:block_end + 1] - cov_lo).tolist()
+            paths_block = hdr.paths[block_start:block_end]
             for j, v in enumerate(block):
                 variant = self.graph.get_variant(v)
-                paths_arr = np.asarray(variant.paths, dtype=np.int32)
                 record = UniqueKmersRecord(
-                    variant.get_start_position(), paths_arr
+                    starts_l[j], paths_block[j],
+                    covered=covered_flat[cov_off[j]:cov_off[j + 1]],
                 )
                 records.append(record)
-                is_biallelic = bool((paths_arr <= 1).all())
-                max_kmers[j] = 16 if is_biallelic else 32
-                max_total[j] = max(variant.nr_of_paths(), 301)
-                # the record ctor already computed np.unique(paths):
-                # its alleles dict keys are exactly the covered set
-                covered_keys_l.append(
-                    np.fromiter(
-                        record.alleles.keys(), np.int64,
-                        count=len(record.alleles),
-                    )
-                    + (j << ALLELE_BITS)
-                )
-                for a in range(variant.nr_of_alleles()):
-                    if variant.is_undefined_allele(a):
+                seqs, undefs = variant.selection_alleles()
+                for a, u in enumerate(undefs):
+                    if u:
                         record.set_undefined_allele(a)
-                        continue
-                    seg_seqs.append(variant.get_allele_sequence(a))
-                    seg_var_l.append(j)
-                    seg_allele_l.append(a)
-                flank_seqs.append(self.graph.get_left_overhang(v, length))
-                flank_seqs.append(self.graph.get_right_overhang(v, length))
+                    else:
+                        seg_seqs.append(seqs[a])
+                        seg_var_l.append(j)
+                        seg_allele_l.append(a)
+                flank_seqs.append(chrom_seq[left_lo_l[j]:starts_l[j]])
+                flank_seqs.append(chrom_seq[ends_l[j]:right_hi_l[j]])
 
             seg_var = np.asarray(seg_var_l, np.int64)
             seg_allele = np.asarray(seg_allele_l, np.int64)
@@ -616,7 +636,6 @@ class UniqueKmerComputer:
                 cand_allele = va[rows]
                 # allele must be covered by >= 1 path
                 if len(cand_var):
-                    covered_keys = np.concatenate(covered_keys_l)
                     cand_keys = (cand_var << ALLELE_BITS) + cand_allele
                     cov_ok = np.isin(cand_keys, covered_keys)
                     gen = self.genomic_kmers.get_abundances(cand_kmer)
@@ -948,49 +967,61 @@ class StepwiseUniqueKmerComputer:
             out.write(
                 "#chromosome\tstart\tend\tunique_kmers\tunique_kmers_overhang\n"
             )
+            hdr = self.graph.selection_header()
+            chrom_seq = hdr.chrom_seq
+            chrom_name = self.graph.chromosome
+            max_total_chrom = max(hdr.paths.shape[1], 301)
             for block_start in range(0, nr_variants, self.BLOCK):
                 block = range(
                     block_start, min(block_start + self.BLOCK, nr_variants)
                 )
                 V = len(block)
+                block_end = block_start + V
                 records: List[UniqueKmersRecord] = []
-                variants = []
                 seg_seqs: List[bytes] = []
                 seg_var_l: List[int] = []
                 seg_allele_l: List[int] = []
                 flank_seqs: List[bytes] = []
-                max_kmers = np.empty(V, np.int64)
-                max_total = np.empty(V, np.int64)
-                covered_keys_l: List[np.ndarray] = []
                 ALLELE_BITS = 18
+                max_kmers = np.where(
+                    hdr.is_biallelic[block_start:block_end], 16, 32
+                ).astype(np.int64)
+                max_total = np.full(V, max_total_chrom, np.int64)
+                starts_l = hdr.starts[block_start:block_end].tolist()
+                ends_l = hdr.ends[block_start:block_end].tolist()
+                left_lo_l = hdr.left_lo[block_start:block_end].tolist()
+                right_hi_l = hdr.right_hi[block_start:block_end].tolist()
+                cov_ptr = hdr.covered_indptr
+                cov_lo = int(cov_ptr[block_start])
+                cov_hi = int(cov_ptr[block_end])
+                cov_counts = np.diff(cov_ptr[block_start:block_end + 1])
+                covered_keys = hdr.covered_data[cov_lo:cov_hi] + (
+                    np.repeat(np.arange(V, dtype=np.int64), cov_counts)
+                    << ALLELE_BITS
+                )
+                covered_flat = hdr.covered_data[cov_lo:cov_hi].tolist()
+                cov_off = (
+                    cov_ptr[block_start:block_end + 1] - cov_lo
+                ).tolist()
+                paths_block = hdr.paths[block_start:block_end]
                 for j, v in enumerate(block):
                     variant = self.graph.get_variant(v)
-                    variants.append(variant)
-                    paths_arr = np.asarray(variant.paths, dtype=np.int32)
                     record = UniqueKmersRecord(
-                        variant.get_start_position(), paths_arr
+                        starts_l[j], paths_block[j],
+                        covered=covered_flat[cov_off[j]:cov_off[j + 1]],
                     )
                     record.set_coverage(0)
                     records.append(record)
-                    is_biallelic = bool((paths_arr <= 1).all())
-                    max_kmers[j] = 16 if is_biallelic else 32
-                    max_total[j] = max(variant.nr_of_paths(), 301)
-                    covered_keys_l.append(
-                        np.fromiter(
-                            record.alleles.keys(), np.int64,
-                            count=len(record.alleles),
-                        )
-                        + (j << ALLELE_BITS)
-                    )
-                    for a in range(variant.nr_of_alleles()):
-                        if variant.is_undefined_allele(a):
+                    seqs, undefs = variant.selection_alleles()
+                    for a, u in enumerate(undefs):
+                        if u:
                             record.set_undefined_allele(a)
-                            continue
-                        seg_seqs.append(variant.get_allele_sequence(a))
-                        seg_var_l.append(j)
-                        seg_allele_l.append(a)
-                    flank_seqs.append(self.graph.get_left_overhang(v, length))
-                    flank_seqs.append(self.graph.get_right_overhang(v, length))
+                        else:
+                            seg_seqs.append(seqs[a])
+                            seg_var_l.append(j)
+                            seg_allele_l.append(a)
+                    flank_seqs.append(chrom_seq[left_lo_l[j]:starts_l[j]])
+                    flank_seqs.append(chrom_seq[ends_l[j]:right_hi_l[j]])
 
                 seg_var = np.asarray(seg_var_l, np.int64)
                 seg_allele = np.asarray(seg_allele_l, np.int64)
@@ -1026,7 +1057,6 @@ class StepwiseUniqueKmerComputer:
                     cand_kmer = vk[rows]
                     cand_allele = va[rows]
                     if len(cand_var):
-                        covered_keys = np.concatenate(covered_keys_l)
                         cand_keys = (
                             cand_var << ALLELE_BITS
                         ) + cand_allele
@@ -1114,13 +1144,12 @@ class StepwiseUniqueKmerComputer:
                 frow_off = np.searchsorted(flank_var, np.arange(V + 1))
                 lines: List[str] = []
                 for j in range(V):
-                    variant = variants[j]
                     ks = kmer_strs_all[row_off[j]:row_off[j + 1]]
                     fs = flank_strs_all[frow_off[j]:frow_off[j + 1]]
                     lines.append(
-                        f"{variant.chromosome}\t"
-                        f"{variant.get_start_position()}\t"
-                        f"{variant.get_end_position()}\t"
+                        f"{chrom_name}\t"
+                        f"{starts_l[j]}\t"
+                        f"{ends_l[j]}\t"
                         f"{b','.join(ks).decode() if len(ks) else 'nan'}\t"
                         f"{b','.join(fs).decode() if len(fs) else 'nan'}\n"
                     )

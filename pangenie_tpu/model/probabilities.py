@@ -73,6 +73,26 @@ class ProbabilityTable:
         for count in range(count_max):
             for j in range(span):
                 self.table[count, j] = self.compute_probability(cov_min + j, count)
+        self._log_tables = {}
+
+    def log_table(self, dtype=np.float64) -> np.ndarray:
+        """log(table) cached per dtype (zero entries become -inf).
+
+        Log magnitudes are small, so a float32 log table preserves the
+        exact positivity structure of the float64 linear table — the
+        densification gather (hmm/columns.py) reads this directly in
+        the HMM's device dtype.
+        """
+        key = np.dtype(dtype)
+        cached = getattr(self, "_log_tables", None)
+        if cached is None:
+            cached = self._log_tables = {}
+        if key not in cached:
+            with np.errstate(divide="ignore"):
+                cached[key] = np.where(
+                    self.table > 0, np.log(self.table), -np.inf
+                ).astype(key)
+        return cached[key]
 
     def compute_probability(
         self, kmer_coverage: int, read_kmer_count: int
@@ -163,6 +183,7 @@ class ProbabilityTable:
             self.table[read_kmer_count, kmer_coverage - self.cov_min] = np.array(
                 probs, dtype=np.float64
             )
+            self._log_tables = {}
         else:
             raise RuntimeError(
                 "ProbabilityTable.modify_probability: no precomputed values "

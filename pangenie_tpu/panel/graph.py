@@ -11,6 +11,7 @@ alleles).
 from __future__ import annotations
 
 import time
+from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -42,6 +43,21 @@ def construct_index(alleles: Sequence, reference_added: bool) -> List[int]:
     return index
 
 
+@dataclass
+class SelectionHeader:
+    """Bulk per-chromosome header arrays for unique-kmer selection."""
+
+    chrom_seq: bytes           # the chromosome's reference sequence
+    starts: np.ndarray         # [N] bubble start positions
+    ends: np.ndarray           # [N] bubble end positions
+    paths: np.ndarray          # [N, P] path -> merged allele id
+    is_biallelic: np.ndarray   # [N] all path alleles in {0, 1}
+    covered_data: np.ndarray   # CSR values: sorted unique covered alleles
+    covered_indptr: np.ndarray  # [N+1]
+    left_lo: np.ndarray        # [N] left overhang start (clipped)
+    right_hi: np.ndarray       # [N] right overhang end (clipped)
+
+
 class ChromosomeGraph:
     """Container of merged variant bubbles for one chromosome."""
 
@@ -59,6 +75,7 @@ class ChromosomeGraph:
         self.variants: List[Optional[VariantBubble]] = []
         self.variant_ids: List[List[str]] = []
         self.variants_deleted = False
+        self._header_cache = None
 
     # -- construction ----------------------------------------------------
 
@@ -106,6 +123,18 @@ class ChromosomeGraph:
             combined.combine_variants(v)
         combined.add_flanking_sequence()
         self.variants.append(combined)
+        self._header_cache = None
+
+    def __getstate__(self):
+        # the selection header duplicates the chromosome sequence; keep
+        # it out of Graph pickles and rebuild on demand after load
+        state = self.__dict__.copy()
+        state["_header_cache"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self.__dict__.setdefault("_header_cache", None)
 
     def _insert_ids(
         self, alleles: Sequence[bytes], ids: List[str], reference_added: bool
@@ -136,6 +165,67 @@ class ChromosomeGraph:
 
     def variants_were_deleted(self) -> bool:
         return self.variants_deleted
+
+    # -- bulk selection header -------------------------------------------
+
+    def selection_header(self) -> "SelectionHeader":
+        """Flat per-chromosome arrays consumed by the unique-kmer
+        selection drivers (kmers/unique.py).
+
+        The reference does the equivalent header work — path lookups,
+        covered-allele sets, overhang coordinates — per bubble inside
+        C++ threads (src/uniquekmercomputer.cpp:95-134, :195-253); a
+        per-variant Python/numpy loop over millions of bubbles was the
+        genome-scale selection wall, so it is computed ONCE here as bulk
+        array ops and cached.
+        """
+        if self._header_cache is not None:
+            return self._header_cache
+        if self.variants_deleted:
+            raise RuntimeError(
+                "ChromosomeGraph.selection_header: variants were deleted."
+            )
+        N = self.size()
+        length = 2 * self.kmer_size
+        chrom_seq = self.fasta_reader.get_sequence(self.chromosome)
+        starts = np.empty(N, dtype=np.int64)
+        ends = np.empty(N, dtype=np.int64)
+        P = self.variants[0].nr_of_paths() if N else 0
+        paths = np.empty((N, P), dtype=np.int32)
+        for i, v in enumerate(self.variants):
+            starts[i] = v.start_position
+            ends[i] = v.get_end_position()
+            paths[i] = v.paths
+        # covered (path-carried) alleles per variant, sorted unique, CSR
+        if N and P:
+            srt = np.sort(paths, axis=1)
+            first = np.ones((N, P), dtype=bool)
+            first[:, 1:] = srt[:, 1:] != srt[:, :-1]
+            covered_data = srt[first].astype(np.int64)
+            counts = first.sum(axis=1)
+        else:
+            covered_data = np.empty(0, dtype=np.int64)
+            counts = np.zeros(N, dtype=np.int64)
+        covered_indptr = np.zeros(N + 1, dtype=np.int64)
+        np.cumsum(counts, out=covered_indptr[1:])
+        # overhang windows, clipped at neighbouring bubbles
+        # (reference src/graph.cpp:554-592)
+        prev_end = np.concatenate([[0], ends[:-1]])
+        next_start = np.concatenate([starts[1:], [len(chrom_seq)]])
+        left_lo = np.maximum(starts - length, prev_end)
+        right_hi = np.minimum(ends + length, next_start)
+        self._header_cache = SelectionHeader(
+            chrom_seq=chrom_seq,
+            starts=starts,
+            ends=ends,
+            paths=paths,
+            is_biallelic=(paths <= 1).all(axis=1) if N else np.zeros(0, bool),
+            covered_data=covered_data,
+            covered_indptr=covered_indptr,
+            left_lo=left_lo,
+            right_hi=right_hi,
+        )
+        return self._header_cache
 
     # -- overhangs for local-coverage kmers ------------------------------
 

@@ -309,6 +309,45 @@ class VariantBubble:
     def get_allele_string(self, index: int) -> str:
         return self.get_allele_sequence(index).decode("ascii")
 
+    def selection_alleles(self) -> Tuple[List[bytes], List[bool]]:
+        """(sequence, is_undefined) for every merged allele, one call.
+
+        Equivalent to calling :meth:`get_allele_sequence` and
+        :meth:`is_undefined_allele` per allele (the unique-kmer
+        selection header pattern, reference
+        src/uniquekmercomputer.cpp:125-134) without per-allele method
+        dispatch; undefined-ness is judged on the sub-variant allele
+        sequences only, exactly as :meth:`is_undefined_allele` does.
+        """
+        lf, rf = self.left_flank, self.right_flank
+        flanked = self.flanks_added
+        if len(self.allele_sequences) == 1:
+            seqs0 = self.allele_sequences[0]
+            undef = [contains_undefined(s) for s in seqs0]
+            if flanked:
+                seqs = [lf + s + rf for s in seqs0]
+            else:
+                seqs = list(seqs0)
+            return seqs, undef
+        seqs: List[bytes] = []
+        undef: List[bool] = []
+        inner = self.inner_flanks
+        nv = len(self.allele_sequences)
+        for combo in self.allele_combinations:
+            parts = [lf] if flanked else []
+            u = False
+            for i, a in enumerate(combo):
+                sub = self.allele_sequences[i][a]
+                u = u or contains_undefined(sub)
+                parts.append(sub)
+                if i < nv - 1:
+                    parts.append(inner[i])
+            if flanked:
+                parts.append(rf)
+            seqs.append(b"".join(parts))
+            undef.append(u)
+        return seqs, undef
+
     def get_allele_on_path(self, path_index: int) -> int:
         return self.paths[path_index]
 

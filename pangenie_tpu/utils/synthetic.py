@@ -73,7 +73,6 @@ def synthetic_columns(
 
     return ColumnArrays(
         lp=lp,
-        pr=pr.astype(dtype),
         incidence=incidence,
         kmer_mask=kmer_mask,
         alleles=alleles,

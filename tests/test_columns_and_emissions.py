@@ -65,7 +65,7 @@ def _emission_matrix(record, probs):
             incidence[ki, lookup[a]] = record.kmer_on_allele(ki, a)
     undefined = np.array([record.is_undefined_allele(a) for a in allele_ids])
     logEA = log_emission_allele_matrix(
-        jnp.asarray(lp), jnp.asarray(pr), jnp.asarray(incidence),
+        jnp.asarray(lp), jnp.asarray(incidence),
         jnp.ones(K, bool), jnp.asarray(undefined),
         jnp.zeros((), bool), jnp.zeros(()),
     )

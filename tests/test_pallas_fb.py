@@ -79,12 +79,10 @@ def test_pallas_all_zero_column_uniform_fallback():
         dtype=np.float32,
     )
     lp = np.asarray(cols.lp).copy()
-    pr = np.asarray(cols.pr).copy()
-    pr[:, 2] = 0.0            # column 2: all kmer probabilities zero
-    lp[:, 2] = -np.inf
+    lp[:, 2] = -np.inf        # column 2: all kmer probabilities zero
     az = np.asarray(cols.all_zeros).copy()
     az[:, 2] = True
-    arrays = cols._replace(lp=lp, pr=pr, all_zeros=az)
+    arrays = cols._replace(lp=lp, all_zeros=az)
     _compare(arrays)
 
 
