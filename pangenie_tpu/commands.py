@@ -503,6 +503,11 @@ def _genotyping_block(
             dense_cache = dict(p.map(_densify, local_chroms))
     else:
         dense_cache = dict(map(_densify, local_chroms))
+    # with a single genotyping subset no cross-subset combine follows,
+    # so normalization happens vectorized inside the posterior scatter
+    # (combine into the phasing run's empty likelihood maps is the
+    # identity, so pre-normalized values survive it)
+    normalize_in_run = len(subsets) == 1
     for idx in local_indices:
         chromosome, is_genotyping, paths = run_specs[idx]
         records = unique_kmers_list.unique_kmers[chromosome]
@@ -510,7 +515,8 @@ def _genotyping_block(
         cols_key = (chromosome, tuple(paths))
         hmm = PairHMM(
             records, probabilities, is_genotyping, not is_genotyping,
-            recombrate, False, effective_N, paths, normalize=False,
+            recombrate, False, effective_N, paths,
+            normalize=is_genotyping and normalize_in_run,
             dtype=dtype, defer=True, dense=dense_cache[chromosome],
             prebuilt=cols_cache.get(cols_key),
         )
@@ -583,7 +589,7 @@ def _genotyping_block(
         results.runtimes = runtimes
     results.runtimes["all"] = time.monotonic() - t
 
-    if not only_phasing:
+    if not only_phasing and not normalize_in_run:
         for chromosome in chromosomes:
             for g in results.result.get(chromosome, ()):
                 g.normalize()

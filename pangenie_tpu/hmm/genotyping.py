@@ -272,16 +272,16 @@ class PairHMM:
     def _finish_genotyping(
         self, posteriors: np.ndarray, log_corr: np.ndarray
     ) -> None:
-        self._scatter_genotypes(posteriors, log_corr)
+        self._scatter_genotypes(
+            posteriors, log_corr, normalized=self._normalize
+        )
         self._store_kmer_stats()
-        if self._normalize:
-            for g in self.genotyping_result:
-                g.normalize()
 
     # -- host scatter ------------------------------------------------------
 
     def _scatter_genotypes(
-        self, posteriors: np.ndarray, log_corr: np.ndarray
+        self, posteriors: np.ndarray, log_corr: np.ndarray,
+        normalized: bool = False,
     ) -> None:
         columns = self.columns
         N = columns.n_columns
@@ -299,6 +299,26 @@ class PairHMM:
         vals = sym[:, iu, ju]                     # [N, A*(A+1)/2]
         diag_cols = np.nonzero(iu == ju)[0]
         vals[:, diag_cols] = G[:, iu[diag_cols], ju[diag_cols]]
+        vals = vals[:N]  # drop bucket-padding columns
+        if normalized:
+            # vectorized GenotypeLikelihoods.normalize over all columns
+            # (same math: dominant entry via the reciprocal form so the
+            # long-double rounding of near-certain probabilities matches
+            # the per-object path at the final ulp). Only pairs with
+            # j < nr_local exist; higher pair slots carry zeros and do
+            # not perturb totals.
+            valid = ju[None, :] < columns.nr_local[:, None]
+            vals = np.where(valid, vals, np.longdouble(0.0))
+            total = vals.sum(axis=1)
+            vmax = vals.max(axis=1)
+            pos = total > 0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scaled = vals / total[:, None]
+                rest = (total - vmax) / vmax
+                dom = np.longdouble(1.0) / (np.longdouble(1.0) + rest)
+            is_dom = (vals == vmax[:, None]) & (vals > 0)
+            out = np.where(is_dom, dom[:, None], scaled)
+            vals = np.where(pos[:, None], out, vals)
         key_a = columns.local_alleles[:, iu].tolist()  # [N][pairs]
         key_b = columns.local_alleles[:, ju].tolist()
         # a pair (i <= j) exists iff j < nr_local; precompute the valid

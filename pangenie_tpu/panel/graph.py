@@ -278,6 +278,131 @@ class ChromosomeGraph:
             return variant.separate_variants(result, skip_flanks=True)
         return [variant], [result]
 
+    _KEYS3 = frozenset(((0, 0), (0, 1), (1, 1)))
+
+    def _bulk_genotype_lines(
+        self,
+        genotyping_result: List[GenotypeLikelihoods],
+        ignore_imputed: bool,
+    ):
+        """Vectorized GT:GQ:GL rendering for plain biallelic records.
+
+        Covers the overwhelmingly common case — uncombined bubble, two
+        defined alleles, likelihoods over {(0,0),(0,1),(1,1)} (or
+        empty, which the reference calls 0/0 with probability 1,
+        src/graph.cpp:118-278). Returns (ok_mask, lines) where lines[i]
+        is the full VCF line for fast rows; anything else (merged
+        bubbles, undefined alleles, multiallelics, unnormalized
+        likelihoods) keeps the exact per-record path.
+        """
+        N = self.size()
+        ok = np.zeros(N, dtype=bool)
+        lines: List[Optional[str]] = [None] * N
+        if N == 0:
+            return ok, lines
+        hdr = self.selection_header()
+        P = hdr.paths.shape[1]
+        size_for_af = P - 1 if self.add_reference else P
+        if size_for_af <= 0:
+            return ok, lines
+        af1 = (hdr.paths == 1).sum(axis=1) / float(size_for_af)
+        starts1 = hdr.starts + 1
+
+        vals = np.zeros((N, 3), dtype=np.longdouble)
+        uk = np.zeros(N, dtype=np.int64)
+        kc = np.zeros(N, dtype=np.int64)
+        refs: List[Optional[bytes]] = [None] * N
+        alts: List[Optional[bytes]] = [None] * N
+        keys3 = self._KEYS3
+        from ..io.sequence import contains_undefined
+
+        for i, variant in enumerate(self.variants):
+            if len(variant.allele_sequences) != 1:
+                continue  # merged bubble: slow path
+            seqs0 = variant.allele_sequences[0]
+            if len(variant.allele_combinations) != 2:
+                continue
+            if contains_undefined(seqs0[0]) or contains_undefined(seqs0[1]):
+                continue
+            gl = genotyping_result[i]
+            lh = gl.likelihoods
+            if lh:
+                if len(lh) > 3 or not keys3.issuperset(lh):
+                    continue
+                vals[i, 0] = lh.get((0, 0), 0.0)
+                vals[i, 1] = lh.get((0, 1), 0.0)
+                vals[i, 2] = lh.get((1, 1), 0.0)
+            else:
+                vals[i, 0] = 1.0  # only-reference column: 0/0 with P=1
+            uk[i] = gl.nr_unique_kmers
+            kc[i] = gl.coverage
+            refs[i] = seqs0[0]
+            alts[i] = seqs0[1]
+            ok[i] = True
+
+        if not ok.any():
+            return ok, lines
+
+        total = vals.sum(axis=1)
+        # rows whose likelihoods are not normalized would raise in
+        # get_genotype_quality — keep them on the per-record path so
+        # the identical error surfaces
+        ok &= ~(ok & (np.abs(total - 1.0) > 1e-10) & (vals.max(axis=1) > 0))
+        vmax = vals.max(axis=1)
+        # likeliest genotype: LAST maximal pair in sorted order, must be
+        # a unique max within 1e-10 (src/genotypingresult.cpp:149-180)
+        best_idx = 2 - np.argmax(vals[:, ::-1] == vmax[:, None], axis=1)
+        close_n = (np.abs(vals - vmax[:, None]) < 1e-10).sum(axis=1)
+        valid_gt = (vmax > 0) & (close_n == 1)
+        if ignore_imputed:
+            valid_gt &= uk != 0
+        pbest = vals[np.arange(N), best_idx]
+        prob_wrong = np.longdouble(1.0) - pbest
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gq = (-10.0 * np.log10(prob_wrong)).astype(np.int64)
+        gq = np.where(prob_wrong > 0, gq, 10000)
+        with np.errstate(divide="ignore"):
+            logs = np.where(vals > 0, np.log10(vals), -np.inf)
+
+        gt_strs = ("0/0", "0/1", "1/1")
+        chrom = self.chromosome
+        variant_ids = self.variant_ids
+        # counter (index into variant_ids) advances by the number of
+        # separated sub-records per bubble
+        sep_counts = np.fromiter(
+            (len(v.allele_sequences) for v in self.variants),
+            dtype=np.int64, count=N,
+        )
+        counters = np.concatenate([[0], np.cumsum(sep_counts[:-1])])
+        af_l = af1.tolist()
+        uk_l = uk.tolist()
+        kc_l = kc.tolist()
+        gq_l = gq.tolist()
+        best_l = best_idx.tolist()
+        valid_l = valid_gt.tolist()
+        pos_l = starts1.tolist()
+        counters_l = counters.tolist()
+        for i in np.nonzero(ok)[0].tolist():
+            ids = variant_ids[counters_l[i]]
+            info = f"AF={af_l[i]:.6g};UK={uk_l[i]};MA=0"
+            if ids:
+                info += ";ID=" + ",".join(ids)
+            if valid_l[i]:
+                b = best_l[i]
+                gt_field = f"{gt_strs[b]}:{gq_l[i]}:"
+            else:
+                gt_field = ".:.:"
+            # format the LONGDOUBLE scalars, exactly as the per-record
+            # path does (a float64 round-trip could flip the 4th digit)
+            lrow = logs[i]
+            lines[i] = (
+                f"{chrom}\t{pos_l[i]}\t.\t"
+                f"{refs[i].decode('ascii')}\t{alts[i].decode('ascii')}\t.\tPASS\t"
+                f"{info}\tGT:GQ:GL:KC\t{gt_field}"
+                f"{lrow[0]:.4g},{lrow[1]:.4g},{lrow[2]:.4g}:{kc_l[i]}\n"
+            )
+        return ok, lines
+
     def write_genotypes(
         self,
         filename: str,
@@ -298,12 +423,19 @@ class ChromosomeGraph:
             raise RuntimeError(
                 "ChromosomeGraph.write_genotypes: number of variants and genotypes differ."
             )
+        fast_ok, fast_lines = self._bulk_genotype_lines(
+            genotyping_result, ignore_imputed
+        )
         mode = "w" if write_header else "a"
         with open(filename, mode) as out:
             if write_header:
                 out.write(self._GT_HEADER.format(date=_current_date(), sample=sample))
             counter = 0
             for i in range(self.size()):
+                if fast_ok[i]:
+                    out.write(fast_lines[i])
+                    counter += 1
+                    continue
                 variant = self.get_variant(i)
                 coverage = genotyping_result[i].coverage
                 nr_unique_kmers = genotyping_result[i].nr_unique_kmers
