@@ -127,9 +127,16 @@ def _use_device_counter(readfile: str = "") -> bool:
     except Exception:
         return False
     try:
-        return os.path.getsize(readfile) > 200 * 1024 * 1024
+        size = os.path.getsize(readfile)
     except OSError:
         return False
+    if readfile.endswith(".gz"):
+        # DNA FASTA/FASTQ compresses ~4x; estimate decompressed bases
+        size *= 4
+    elif readfile.endswith((".fastq", ".fq")):
+        # quality lines + headers roughly double the bytes per base
+        size //= 2
+    return size > 200 * 1024 * 1024
 
 
 def _log(msg: str) -> None:

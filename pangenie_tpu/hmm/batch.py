@@ -17,14 +17,26 @@ import jax.numpy as jnp
 from .forward_backward import ColumnArrays, forward_backward
 
 # the fused kernel stores the forward pass in HBM: [N, P, P, B] f32.
-# 10 GB of the v5e's 16 GB: genome-scale chromosome buckets (65536
-# columns x 256 pair-states x 128 lanes) measured 0.07 s fused vs ~15 s
-# as an XLA scan — the kernel must not fall off at exactly the shapes
-# that matter
+# Default budget: 10 GB of the v5e's 16 GB — genome-scale chromosome
+# buckets (65536 columns x 256 pair-states x 128 lanes) measured 0.07 s
+# fused vs ~15 s as an XLA scan, so the kernel must not fall off at
+# exactly the shapes that matter. When the backend reports live memory
+# stats the cap derives from FREE HBM instead (other residents — primed
+# count tables, device columns, staging buffers — shrink the real
+# headroom; ADVICE r03).
 _PALLAS_HBM_CAP = 10 * 1024 ** 3
 # and stages [S=8, P, P, 128] blocks (double-buffered) in VMEM
 _PALLAS_MAX_PATHS = 96
 _PALLAS_MAX_ALLELES = 8  # A^2 unrolled FMA terms per column
+
+
+def _hbm_budget() -> int:
+    try:
+        stats = jax.devices()[0].memory_stats()
+        free = int(stats["bytes_limit"]) - int(stats["bytes_in_use"])
+        return max(2 * 1024 ** 3, int(free * 0.8))
+    except Exception:
+        return _PALLAS_HBM_CAP
 
 
 def _common_eligible(columns: ColumnArrays, n_state_tensors: int) -> bool:
@@ -36,7 +48,7 @@ def _common_eligible(columns: ColumnArrays, n_state_tensors: int) -> bool:
     if N == 0 or P > _PALLAS_MAX_PATHS:
         return False
     lb = (max(B, 1) + 127) // 128 * 128
-    if n_state_tensors * N * P * P * lb * 4 > _PALLAS_HBM_CAP:
+    if n_state_tensors * N * P * P * lb * 4 > _hbm_budget():
         return False
     try:
         platform = jax.devices()[0].platform

@@ -631,6 +631,46 @@ def _flush_tagged(ghi, glo, counts, buf_hi, buf_lo, size: Optional[int] = None):
     return counts + part_counts[:n_g]
 
 
+@partial(jax.jit, static_argnames=("n_out", "size"), donate_argnums=(2, 3))
+def _dedupe_round(held_hi, held_lo, buf_hi, buf_lo, n_out: int,
+                  size: Optional[int] = None):
+    """Fold one tagged-key buffer into the compact unique-key table.
+
+    Sorts [held unique keys ++ buffered keys], keeps each distinct
+    key's first slot (sentinels dropped), and stable-partitions the
+    kept keys — still sorted — into the fixed-size [n_out] prefix.
+    Used by the on-device PRIME build (see
+    PrimedDeviceCounter._prime_from_corpus)."""
+    if size is not None and size < buf_hi.shape[0]:
+        buf_hi = jax.lax.slice(buf_hi, (0,), (size,))
+        buf_lo = jax.lax.slice(buf_lo, (0,), (size,))
+    all_hi = jnp.concatenate([held_hi, buf_hi])
+    all_lo = jnp.concatenate([held_lo, buf_lo])
+    shi, slo = jax.lax.sort((all_hi, all_lo), num_keys=2)
+    prev_hi = jnp.concatenate([shi[:1] ^ jnp.uint32(1), shi[:-1]])
+    prev_lo = jnp.concatenate([slo[:1], slo[:-1]])
+    is_first = (shi != prev_hi) | (slo != prev_lo)
+    bad = (shi == jnp.uint32(0xFFFFFFFF)) & (slo == jnp.uint32(0xFFFFFFFF))
+    keep = is_first & ~bad
+    _, phi, plo = jax.lax.sort(
+        ((~keep).astype(jnp.uint32), shi, slo), num_keys=1
+    )
+    return phi[:n_out], plo[:n_out]
+
+
+@jax.jit
+def _table_checksums(hi, lo):
+    """Wraparound uint32 sums of a tagged table (one tiny readback).
+
+    The accumulator dtype is pinned to uint32: under x64 jnp.sum would
+    otherwise promote to uint64 and the mod-2^32 wrap would no longer
+    match the host side."""
+    return jnp.stack([
+        jnp.sum(hi, dtype=jnp.uint32),
+        jnp.sum(lo & jnp.uint32(0xFFFFFFFE), dtype=jnp.uint32),
+    ])
+
+
 class PrimedDeviceCounter:
     """Device PRIME+UPDATE counter: graph k-mers registered once as a
     sorted tagged-key table; read batches accumulate into a large
@@ -639,10 +679,19 @@ class PrimedDeviceCounter:
     and one fixed flush shape => a handful of XLA compiles; table
     memory stays O(graph kmers + capacity) regardless of read volume —
     the device analogue of the reference's memory-saving default mode
-    (src/jellyfishcounter.cpp:51-85)."""
+    (src/jellyfishcounter.cpp:51-85).
+
+    ``corpus_files`` enables the on-device PRIME build: the packed
+    corpus (0.25 bytes/base) streams to the device, which extracts,
+    sorts and dedupes the graph keys itself — versus shipping the
+    8-bytes/key host table over a ~40 MB/s tunneled link (the prime
+    transfer was several seconds per genome-scale table). The device
+    table is validated against the host keys by checksum and falls
+    back to the transfer on any mismatch."""
 
     def __init__(self, k: int, keys: np.ndarray,
-                 capacity: Optional[int] = None):
+                 capacity: Optional[int] = None,
+                 corpus_files: Optional[List[str]] = None):
         if not (1 <= k <= 31):
             raise ValueError("PrimedDeviceCounter supports k in [1, 31].")
         self.k = k
@@ -656,16 +705,142 @@ class PrimedDeviceCounter:
             # (measured 637s first-call at a 128M buffer vs 4s at 64M
             # on TPU v5e)
             capacity = max(1 << 20, min(16 * max(1, len(keys)), 64 << 20))
-        # tagged graph keys (tag bit 0): (key << 1) split at bit 32
-        tagged = keys << np.uint64(1)
-        self._hi = jnp.asarray((tagged >> np.uint64(32)).astype(np.uint32))
-        self._lo = jnp.asarray((tagged & np.uint64(MASK32)).astype(np.uint32))
-        self._counts = jnp.zeros(len(keys), jnp.int32)
         self._keys = keys
         self._capacity = int(capacity)
+        self._hi = self._lo = None
+        self.primed_on_device = False
+        if corpus_files and len(keys):
+            self._prime_from_corpus(corpus_files)
+            self.primed_on_device = self._hi is not None
+        if self._hi is None:
+            # tagged graph keys (tag bit 0): (key << 1) split at bit 32
+            tagged = keys << np.uint64(1)
+            self._hi = jnp.asarray((tagged >> np.uint64(32)).astype(np.uint32))
+            self._lo = jnp.asarray((tagged & np.uint64(MASK32)).astype(np.uint32))
+        self._counts = jnp.zeros(len(keys), jnp.int32)
         self._fill = 0
         self._buf_hi = None
         self._buf_lo = None
+
+    def _prime_from_corpus(self, corpus_files: List[str]) -> None:
+        """Build the sorted graph-key table ON DEVICE from the corpus.
+
+        Streams every corpus sequence as fixed-length chunks
+        (overlapping k-1 so no window is lost) through the packed
+        ingest path, deduping rounds into a fixed [n_keys] table.
+        Success criterion: the device table's checksums equal the host
+        key set's — guaranteed when extraction agrees, since both are
+        sorted unique sets of the same size."""
+        from . import native
+        from .counter import try_sequence_blocks
+
+        if not native.available():
+            return
+        n_keys = len(self._keys)
+        cap = self._capacity
+        if n_keys >= cap:
+            return
+        k = self.k
+        CH = 1 << 15
+        step = CH - (k - 1)
+        win = CH - k + 1
+        rows_per = max(1, (cap // 2) // win)
+
+        bad = jnp.uint32(0xFFFFFFFF)
+        held_hi = jnp.full(n_keys, bad)
+        held_lo = jnp.full(n_keys, bad)
+        buf_hi = jnp.full(cap, bad)
+        buf_lo = jnp.full(cap, bad)
+        fill = 0
+
+        def quantized(n: int) -> int:
+            size = 1 << 20
+            while size < n:
+                size *= 2
+            if size > (1 << 20):
+                s = size // 16
+                size = ((n + s - 1) // s) * s
+            return min(size, cap)
+
+        def fold(buf_hi, buf_lo, fill):
+            return _dedupe_round(
+                held_hi, held_lo, buf_hi, buf_lo, n_keys,
+                size=quantized(max(1, fill)),
+            )
+
+        for filename in corpus_files:
+            blocks = try_sequence_blocks(filename)
+            if blocks is None:
+                return  # gz/FASTQ corpus: fall back to the transfer
+            for data, offsets in blocks:
+                data = np.asarray(data, dtype=np.uint8)
+                lens = np.diff(offsets)
+                starts = offsets[:-1]
+                keep = lens >= k
+                nw = lens[keep] - (k - 1)
+                seq_starts = starts[keep]
+                seq_lens = lens[keep]
+                if not len(nw):
+                    continue
+                n_chunks = (nw + step - 1) // step
+                seq_idx = np.repeat(
+                    np.arange(len(nw), dtype=np.int64), n_chunks
+                )
+                first = np.concatenate(
+                    [[0], np.cumsum(n_chunks)[:-1]]
+                )
+                within = (
+                    np.arange(len(seq_idx), dtype=np.int64)
+                    - first[seq_idx]
+                )
+                row_start = seq_starts[seq_idx] + within * step
+                row_len = np.minimum(
+                    CH, seq_lens[seq_idx] - within * step
+                )
+                for lo_i in range(0, len(row_start), rows_per):
+                    rs = row_start[lo_i:lo_i + rows_per]
+                    rl = row_len[lo_i:lo_i + rows_per]
+                    if len(rs) < rows_per and lo_i > 0:
+                        pad = rows_per - len(rs)
+                        rs = np.concatenate([rs, np.zeros(pad, np.int64)])
+                        rl = np.concatenate([rl, np.zeros(pad, np.int64)])
+                    packed = native.pack_rows(data, rs, rl, CH)
+                    if packed is None:
+                        return
+                    n_win = len(rs) * win
+                    if fill + n_win > cap:
+                        held_hi, held_lo = fold(buf_hi, buf_lo, fill)
+                        buf_hi = jnp.full(cap, bad)
+                        buf_lo = jnp.full(cap, bad)
+                        fill = 0
+                    buf_hi, buf_lo = _ingest_packed(
+                        jnp.asarray(packed[0]), jnp.asarray(packed[1]),
+                        fill, buf_hi, buf_lo, CH, k,
+                    )
+                    fill += n_win
+        held_hi, held_lo = fold(buf_hi, buf_lo, fill)
+
+        sums = np.asarray(_table_checksums(held_hi, held_lo))
+        tagged = self._keys << np.uint64(1)
+        want_hi = (tagged >> np.uint64(32)).astype(np.uint32).sum(
+            dtype=np.uint32
+        )
+        want_lo = (tagged.astype(np.uint64) & np.uint64(0xFFFFFFFE)).astype(
+            np.uint32
+        ).sum(dtype=np.uint32)
+        if int(sums[0]) != int(want_hi) or int(sums[1]) != int(want_lo):
+            import sys
+
+            print(
+                "PrimedDeviceCounter: device-built table checksum mismatch; "
+                "falling back to host key transfer",
+                file=sys.stderr,
+            )
+            return
+        # clear the ingest tag bit: tagged-read (key<<1)|1 and
+        # tagged-graph (key<<1) share hi; only lo's LSB differs
+        self._hi = held_hi
+        self._lo = held_lo & jnp.uint32(0xFFFFFFFE)
 
     def _reset_buffer(self) -> None:
         bad = jnp.uint32(0xFFFFFFFF)
@@ -768,6 +943,31 @@ class PrimedDeviceCounter:
 
     def to_host_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
         self._flush()
+        n = len(self._keys)
+        if n >= (1 << 22):
+            # saturated uint8 readback: 4x fewer bytes over the
+            # ~40 MB/s tunneled link; the (rare) counts >= 255 are
+            # restored exactly from a small index/value gather
+            cap_over = max(1, n // 64)
+            over = np.asarray(
+                jnp.nonzero(
+                    self._counts >= 255, size=cap_over, fill_value=-1
+                )[0]
+            )
+            over = over[over >= 0]
+            if len(over) == cap_over:
+                # overflow list may be truncated (extremely repetitive
+                # corpus): take the full exact readback instead
+                counts = np.asarray(self._counts).astype(np.int64)[:n]
+                return self._keys, counts
+            small = np.asarray(
+                jnp.minimum(self._counts, 255).astype(jnp.uint8)
+            )
+            counts = small.astype(np.int64)[:n]
+            if len(over):
+                vals = np.asarray(self._counts[jnp.asarray(over)])
+                counts[over] = vals
+            return self._keys, counts
         counts = np.asarray(self._counts).astype(np.int64)
         return self._keys, counts[: len(self._keys)]
 
@@ -831,7 +1031,7 @@ def count_file_primed_device(
     if not len(keys):
         return ExactKmerCounter(k, keys, np.zeros(0, dtype=np.int64))
 
-    counter = PrimedDeviceCounter(k, keys)
+    counter = PrimedDeviceCounter(k, keys, corpus_files=list(corpus_files))
     min_bucket = 128
 
     def bucket_of(n: int) -> int:

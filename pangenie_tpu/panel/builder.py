@@ -244,7 +244,7 @@ class PanelBuilder:
                             undefined_index += 1
                         else:
                             p_index = _atoi(s)
-                            if p_index >= len(alleles):
+                            if p_index >= len(alleles) or p_index < 0:
                                 raise RuntimeError(
                                     "PanelBuilder: invalid genotype in VCF."
                                 )

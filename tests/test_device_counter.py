@@ -268,3 +268,65 @@ def test_hmm_dtype_env_and_platform(monkeypatch):
     assert not commands._use_device_counter()
     monkeypatch.setenv("PANGENIE_TPU_COUNTER", "device")
     assert commands._use_device_counter()
+
+
+def test_prime_from_corpus_builds_device_table(tmp_path):
+    """The on-device PRIME build must reproduce the host key table
+    exactly — including N-containing corpus sequences, chunking of
+    sequences longer than one row, and multi-round dedupe folds."""
+    import numpy as np
+
+    from pangenie_tpu.kmers.counter import ExactKmerCounter, iter_sequences
+    from pangenie_tpu.kmers.device_counter import PrimedDeviceCounter
+
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    k = 31
+    seqs = []
+    genome = bases[rng.integers(0, 4, size=20000)].tobytes()
+    # a 67 kb sequence (> one 32768-base chunk row) made of repeated
+    # genome copies: ~80k windows over ~20k unique keys, so a 32k
+    # capacity sits between them and forces multi-round dedupe folds
+    seqs.append(genome + genome[100:] + genome[257:] + genome[1033:9000])
+    withn = bytearray(bases[rng.integers(0, 4, size=500)].tobytes())
+    withn[100:105] = b"NNNNN"
+    seqs.append(bytes(withn))
+    seqs.append(b"ACG")  # shorter than k: skipped
+    corpus = tmp_path / "corpus.fa"
+    with open(corpus, "w") as out:
+        for i, s in enumerate(seqs):
+            out.write(f">s{i}\n{s.decode()}\n")
+
+    keys = np.unique(
+        ExactKmerCounter._extract_canonical(iter_sequences(str(corpus)), k)
+    )
+    # capacity below the corpus window count forces multiple dedupe
+    # rounds through the fixed-size held table
+    counter = PrimedDeviceCounter(
+        k, keys, capacity=1 << 15, corpus_files=[str(corpus)]
+    )
+    assert counter.primed_on_device
+    tagged = keys << np.uint64(1)
+    np.testing.assert_array_equal(
+        np.asarray(counter._hi),
+        (tagged >> np.uint64(32)).astype(np.uint32),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(counter._lo),
+        (tagged & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+    )
+
+    # wrong host keys must be detected by checksum and fall back to the
+    # transferred table (so counting stays correct regardless)
+    bad_keys = keys.copy()
+    bad_keys[0] ^= np.uint64(4)
+    bad_keys = np.unique(bad_keys)
+    fallback = PrimedDeviceCounter(
+        k, bad_keys, capacity=1 << 15, corpus_files=[str(corpus)]
+    )
+    assert not fallback.primed_on_device
+    tagged_bad = bad_keys << np.uint64(1)
+    np.testing.assert_array_equal(
+        np.asarray(fallback._hi),
+        (tagged_bad >> np.uint64(32)).astype(np.uint32),
+    )
