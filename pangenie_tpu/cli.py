@@ -134,6 +134,7 @@ def main(argv=None) -> int:
         return commands.run_index_command(
             args.reffile, args.vcffile, args.kmersize, args.outname,
             args.nr_threads, add_reference=True,
+            hash_size=args.hash_size,
         )
 
     if args.command == "genotype":

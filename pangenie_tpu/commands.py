@@ -225,8 +225,13 @@ def run_index_command(
     outname: str,
     nr_jellyfish_threads: int = 1,
     add_reference: bool = True,
+    hash_size: int = 3_000_000_000,
 ) -> int:
-    """PanGenie-index (reference src/commands.cpp:592-728)."""
+    """PanGenie-index (reference src/commands.cpp:592-728).
+
+    ``hash_size`` is the CLI's -e (the reference's jellyfish hash
+    size, src/commands.cpp:647); here it bounds the per-thread corpus
+    extraction chunk, the analogous memory knob."""
     check_input_file(reffile)
     check_input_file(vcffile)
 
@@ -243,7 +248,10 @@ def run_index_command(
     summary.phase("reading input files")
 
     _log("Count kmers in graph ...")
-    genomic_kmer_counts = ExactKmerCounter.count_file(segment_file, kmersize)
+    genomic_kmer_counts = ExactKmerCounter.count_file(
+        segment_file, kmersize, n_threads=nr_jellyfish_threads,
+        block_bases=int(min(max(hash_size // 64, 1 << 22), 1 << 28)),
+    )
     summary.phase("counting kmers in graph")
 
     _log("Serialize Graph objects ...")
@@ -849,7 +857,10 @@ def run_single_command(
     summary.phase("reading input files")
 
     _log("Count kmers in graph ...")
-    genomic_kmer_counts = ExactKmerCounter.count_file(segment_file, kmersize)
+    genomic_kmer_counts = ExactKmerCounter.count_file(
+        segment_file, kmersize, n_threads=nr_jellyfish_threads,
+        block_bases=int(min(max(hash_size // 64, 1 << 22), 1 << 28)),
+    )
     summary.phase("counting kmers in graph")
 
     read_kmer_counts = _read_counter(

@@ -709,7 +709,20 @@ class PrimedDeviceCounter:
         self._capacity = int(capacity)
         self._hi = self._lo = None
         self.primed_on_device = False
-        if corpus_files and len(keys):
+        # OPT-IN: building the table on device replaces an 8-bytes/key
+        # host transfer (~10 s/genome over the 40 MB/s tunnel) with two
+        # device sort programs — but XLA compile of those sorts costs
+        # MINUTES at graph-table sizes on the tunneled backend (measured
+        # 474 s cold counting vs ~110 s with the transfer), and compiles
+        # are not cacheable across processes. Worth it only where big
+        # sort compiles are sane or the process is long-lived.
+        import os
+
+        if (
+            corpus_files
+            and len(keys)
+            and os.environ.get("PANGENIE_TPU_DEVICE_PRIME")
+        ):
             self._prime_from_corpus(corpus_files)
             self.primed_on_device = self._hi is not None
         if self._hi is None:
@@ -1014,6 +1027,10 @@ def count_file_primed_device(
     host primed counter produces (zero-count graph keys included).
     """
     from .counter import ExactKmerCounter, iter_sequences
+    import sys
+    import time as _time
+
+    _t0 = _time.monotonic()
 
     if keys is None:
         # ``keys`` short-circuits the corpus re-extraction when the
@@ -1032,6 +1049,7 @@ def count_file_primed_device(
         return ExactKmerCounter(k, keys, np.zeros(0, dtype=np.int64))
 
     counter = PrimedDeviceCounter(k, keys, corpus_files=list(corpus_files))
+    _t_prime = _time.monotonic()
     min_bucket = 128
 
     def bucket_of(n: int) -> int:
@@ -1107,7 +1125,15 @@ def count_file_primed_device(
                         cl = np.concatenate([cl, np.zeros(pad, np.int64)])
                     words, vwords = native.pack_rows(data, cs, cl, int(L))
                     counter.update_packed_batch(words, vwords, int(L))
+        _t_stream = _time.monotonic()
         keys_out, counts = counter.to_host_arrays()
+        print(
+            f"  [device counter] prime {_t_prime - _t0:.1f}s "
+            f"(on_device={counter.primed_on_device}) "
+            f"stream {_t_stream - _t_prime:.1f}s "
+            f"flush+readback {_time.monotonic() - _t_stream:.1f}s",
+            file=sys.stderr,
+        )
         return ExactKmerCounter(k, keys_out, counts)
 
     pending: dict = {}  # L_bucket -> (rows list, fixed row count)

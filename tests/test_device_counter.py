@@ -270,11 +270,13 @@ def test_hmm_dtype_env_and_platform(monkeypatch):
     assert commands._use_device_counter()
 
 
-def test_prime_from_corpus_builds_device_table(tmp_path):
+def test_prime_from_corpus_builds_device_table(tmp_path, monkeypatch):
     """The on-device PRIME build must reproduce the host key table
     exactly — including N-containing corpus sequences, chunking of
     sequences longer than one row, and multi-round dedupe folds."""
     import numpy as np
+
+    monkeypatch.setenv("PANGENIE_TPU_DEVICE_PRIME", "1")
 
     from pangenie_tpu.kmers.counter import ExactKmerCounter, iter_sequences
     from pangenie_tpu.kmers.device_counter import PrimedDeviceCounter
