@@ -177,12 +177,20 @@ def bench_e2e() -> None:
     import types
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    # budget-adaptive sizing: the warm+cold pair plus input simulation
-    # costs are roughly linear in Mb; pick the largest size that fits.
+    # budget-adaptive sizing, calibrated on isolated r04 measurements
+    # (20 Mb: ~780 s cold incl. XLA compiles + ~105 s warm + ~260 s
+    # input simulation when the /tmp cache is cold): pick the largest
+    # size whose cold+warm pair still fits the remaining budget.
+    workdir = os.environ.get("PANGENIE_BENCH_WORKDIR", "/tmp/pg_bench")
     remaining = _remaining()
-    if remaining > 700:
+
+    def _cached(mb, chroms):
+        tag = (f"mb{mb}_c{chroms}_s61_cov12.0_d150_seed11")
+        return os.path.exists(os.path.join(workdir, tag, "DONE"))
+
+    if remaining > (1000 if _cached(20.0, 2) else 1250):
         mb, chroms = 20.0, 2
-    elif remaining > 350:
+    elif remaining > (500 if _cached(10.0, 2) else 650):
         mb, chroms = 10.0, 2
     else:
         print(json.dumps({
@@ -203,7 +211,6 @@ def bench_e2e() -> None:
     )
     # persistent cache: repeated driver runs skip the (minutes-scale on
     # this 2-core host) input simulation
-    workdir = os.environ.get("PANGENIE_BENCH_WORKDIR", "/tmp/pg_bench")
     casedir = build_inputs(args, workdir)
     outpref = os.path.join(casedir, "out")
     walls = []
@@ -326,12 +333,14 @@ def main() -> None:
         sys.exit(2)
     _ensure_backend()
     which = set(sys.argv[1:]) or known
-    # hmm FIRST (flagship metric always captured), then kmers, then the
-    # budget-adaptive e2e; the hmm line re-prints last so the driver's
-    # parsed (last) line stays comparable to r01/r02.
+    # hmm FIRST (flagship metric always captured), then the
+    # budget-adaptive e2e (the VERDICT-critical number), then kmers
+    # (skips itself when the budget is spent); the hmm line re-prints
+    # last so the driver's parsed (last) line stays comparable to
+    # r01/r02.
     hmm_line = None
-    for name, fn in (("hmm", bench_hmm), ("kmers", bench_kmers),
-                     ("e2e", bench_e2e)):
+    for name, fn in (("hmm", bench_hmm), ("e2e", bench_e2e),
+                     ("kmers", bench_kmers)):
         if name not in which:
             continue
         try:

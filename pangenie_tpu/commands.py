@@ -110,10 +110,16 @@ def _use_device_counter(readfile: str = "") -> bool:
 
     PANGENIE_TPU_COUNTER=device|tpu forces it, =host|cpu forbids it;
     otherwise AUTO: the device engine engages on a real TPU backend
-    once the read volume (> ~200 Mbp) amortizes its fixed costs (graph
-    table transfer + count readback + compiles). Small inputs stay on
-    the host C++ engine, whose per-run overhead is near zero — the r2
-    lesson: TPU-routed must mean TPU-faster."""
+    once the read volume amortizes its fixed costs. Isolated r04
+    measurements on the tunneled v5e (240 Mbp reads, 24M-key table):
+    warm device counting = 19 s of which ~8 s is the graph-table
+    host->device transfer and ~3 s the counts readback — a tie with
+    the 2-core host C++ engine — while its cold XLA compiles cost
+    ~200+ s. The device engine streams ~4x faster than the host per
+    byte, so it wins once the read stream is several times the fixed
+    transfer cost: >= ~512 Mbp (a 30x human read set is ~90 Gbp and
+    decisively device-bound). Smaller inputs stay on the host C++
+    engine — the r2 lesson: TPU-routed must mean TPU-faster."""
     env = os.environ.get("PANGENIE_TPU_COUNTER", "").lower()
     if env in ("device", "tpu"):
         return True
@@ -136,7 +142,7 @@ def _use_device_counter(readfile: str = "") -> bool:
     elif readfile.endswith((".fastq", ".fq")):
         # quality lines + headers roughly double the bytes per base
         size //= 2
-    return size > 200 * 1024 * 1024
+    return size > 512 * 1024 * 1024
 
 
 def _log(msg: str) -> None:

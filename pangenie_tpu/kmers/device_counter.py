@@ -862,8 +862,12 @@ class PrimedDeviceCounter:
         self._fill = 0
 
     def _flush(self) -> None:
+        import os
+        import time as _time
+
         if self._buf_hi is None or self._fill == 0:
             return
+        _t0 = _time.monotonic()
         # sort only (about) what was filled: round the fill up to the
         # next 1/8-step of a power of two (1.0, 1.125, ..., 1.875 x
         # 2^m) so only a few dozen flush shapes ever compile while the
@@ -894,6 +898,14 @@ class PrimedDeviceCounter:
         self._buf_hi = None
         self._buf_lo = None
         self._fill = 0
+        if os.environ.get("PANGENIE_TPU_COUNTER_DEBUG"):
+            import sys
+
+            print(
+                f"    [flush] size={size} enqueue_wall="
+                f"{_time.monotonic() - _t0:.1f}s",
+                file=sys.stderr,
+            )
 
     def _add_tagged(self, thi, tlo) -> None:
         n = thi.shape[0]
@@ -955,9 +967,14 @@ class PrimedDeviceCounter:
         self._fill += n
 
     def to_host_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
+        import os
+
         self._flush()
         n = len(self._keys)
-        if n >= (1 << 22):
+        # OPT-IN like the on-device prime: the saturate/nonzero/gather
+        # programs save ~3 s of readback but their XLA compiles cost
+        # minutes cold on the tunneled backend
+        if n >= (1 << 22) and os.environ.get("PANGENIE_TPU_U8_READBACK"):
             # saturated uint8 readback: 4x fewer bytes over the
             # ~40 MB/s tunneled link; the (rare) counts >= 255 are
             # restored exactly from a small index/value gather
