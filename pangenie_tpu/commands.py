@@ -105,21 +105,24 @@ def _hmm_dtype():
     return jnp.float32 if _default_platform() == "tpu" else jnp.float64
 
 
-def _use_device_counter(readfile: str = "") -> bool:
+def _use_device_counter(readfile: str = "", n_keys: int = 0) -> bool:
     """Route read k-mer counting through the TPU engine.
 
     PANGENIE_TPU_COUNTER=device|tpu forces it, =host|cpu forbids it;
     otherwise AUTO: the device engine engages on a real TPU backend
-    once the read volume amortizes its fixed costs. Isolated r04
-    measurements on the tunneled v5e (240 Mbp reads, 24M-key table):
-    warm device counting = 19 s of which ~8 s is the graph-table
-    host->device transfer and ~3 s the counts readback — a tie with
-    the 2-core host C++ engine — while its cold XLA compiles cost
-    ~200+ s. The device engine streams ~4x faster than the host per
-    byte, so it wins once the read stream is several times the fixed
-    transfer cost: >= ~512 Mbp (a 30x human read set is ~90 Gbp and
-    decisively device-bound). Smaller inputs stay on the host C++
-    engine — the r2 lesson: TPU-routed must mean TPU-faster."""
+    once the read volume amortizes its fixed costs, which scale with
+    the GRAPH-TABLE size: every flush re-sorts the n_keys-long table
+    together with the buffered windows, and the table transfers to and
+    from the device once (8+4 bytes/key over a ~40 MB/s tunneled
+    link). Isolated r04 measurements (240 Mbp reads, 24M-key table):
+    warm device counting 19-20 s — a tie with the 2-core host C++
+    engine — while its cold XLA compiles cost 200+ s. The device
+    streams ~4x faster per byte once the table amortizes, so AUTO
+    requires the read volume to exceed ~12x the key count (and at
+    least ~512 Mbp): a 30x human read set (~90 Gbp vs a sharded
+    multi-chip table) is decisively device-bound; bench-scale inputs
+    stay on the host engine — the r2 lesson: TPU-routed must mean
+    TPU-faster."""
     env = os.environ.get("PANGENIE_TPU_COUNTER", "").lower()
     if env in ("device", "tpu"):
         return True
@@ -142,7 +145,7 @@ def _use_device_counter(readfile: str = "") -> bool:
     elif readfile.endswith((".fastq", ".fq")):
         # quality lines + headers roughly double the bytes per base
         size //= 2
-    return size > 512 * 1024 * 1024
+    return size > max(512 * 1024 * 1024, 12 * n_keys)
 
 
 def _log(msg: str) -> None:
@@ -196,7 +199,9 @@ def _read_counter(
                 f"  multi-host: process {shard[0]}/{shard[1]} counts every "
                 f"{shard[1]}-th read"
             )
-        if _use_device_counter(readfile):
+        if _use_device_counter(
+            readfile, len(prime_keys) if prime_keys is not None else 0
+        ):
             from .kmers.device_counter import count_file_primed_device
 
             # the `-e` hash size bounds the streaming block (the table

@@ -332,3 +332,42 @@ def test_prime_from_corpus_builds_device_table(tmp_path, monkeypatch):
         np.asarray(fallback._hi),
         (tagged_bad >> np.uint64(32)).astype(np.uint32),
     )
+
+
+def test_ultralong_read_exceeding_flush_buffer(tmp_path):
+    """A single read whose window count exceeds the flush buffer must
+    count correctly (ADVICE r03: capacity growth handles it)."""
+    import numpy as np
+
+    from pangenie_tpu.kmers.counter import ExactKmerCounter
+    from pangenie_tpu.kmers.device_counter import (
+        PrimedDeviceCounter, count_file_primed_device,
+    )
+
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    k = 31
+    genome = bases[rng.integers(0, 4, size=3000)].tobytes()
+    longread = (genome * 40)[:100_000]  # windows >> a small capacity
+    corpus = tmp_path / "c.fa"
+    reads = tmp_path / "r.fa"
+    corpus.write_text(f">s\n{genome.decode()}\n")
+    reads.write_text(
+        f">L\n{longread.decode()}\n>tiny\n{genome[:80].decode()}\n"
+    )
+    host = ExactKmerCounter.count_file_primed(str(reads), [str(corpus)], k)
+    # force a tiny flush buffer so the long read cannot fit
+    orig = PrimedDeviceCounter.__init__
+
+    def small(self, k, keys, capacity=None, corpus_files=None):
+        orig(self, k, keys, capacity=1 << 14, corpus_files=corpus_files)
+
+    PrimedDeviceCounter.__init__ = small
+    try:
+        dev = count_file_primed_device(
+            str(reads), [str(corpus)], k, block_bases=1 << 18
+        )
+    finally:
+        PrimedDeviceCounter.__init__ = orig
+    np.testing.assert_array_equal(host.keys, dev.keys)
+    np.testing.assert_array_equal(host.counts, dev.counts)
