@@ -260,15 +260,18 @@ class ExactKmerCounter(KmerCounter):
                 if hash_index is not None else None
             )
             if raw_blocks is not None:
-                # fast path: native FASTA chunk parse + fused in-loop
-                # shard filter — zero Python work per read
+                # fast path: native FASTA chunk parse + fused-table
+                # streaming ({key,count} interleaved, prefetch-batched:
+                # one random cache-line per window) — zero Python work
+                # per read
+                kc = native.KmerCountTable(keys)
                 base = 0
                 for data, offsets in raw_blocks:
-                    hash_index.stream_update_raw(
-                        data, offsets, k, counts, n_threads, shard, base
+                    kc.stream_update_raw(
+                        data, offsets, k, n_threads, shard, base
                     )
                     base += len(offsets) - 1
-                return cls(k, keys, counts)
+                return cls(k, keys, kc.export_counts(n_threads))
             # stream reads in blocks; native extraction + accumulation
             from ..parallel.distributed import shard_sequences
 

@@ -2,9 +2,15 @@
 
 Replaces the reference JellyfishReader (src/jellyfishreader.cpp): loads
 a pre-computed jellyfish database of read k-mer counts instead of
-counting reads. Only the ``binary/sorted`` dump format is supported
-(what `jellyfish count -s ... -C` writes for these sizes); the counts
-land directly in the sorted-table layout of :class:`ExactKmerCounter`.
+counting reads. The supported format set MATCHES the reference's:
+src/jellyfishreader.cpp:31-40 accepts exactly
+``binary_dumper::format`` (the ``"binary/sorted"`` header value — what
+`jellyfish count -C` writes) and throws "Unsupported format" for
+anything else; its `binary_query` is jellyfish's mmap random-access
+view over that same sorted file. Here the sorted records load eagerly
+into the :class:`ExactKmerCounter` table instead of being mmap-probed
+per query — batched lookups over a host array are the faster access
+pattern for this pipeline's bulk selection queries.
 
 File layout (validated against the reference's committed fixtures):
 ASCII-digit JSON-length prefix, a JSON header (``canonical``,
@@ -61,9 +67,10 @@ def read_jf(filename: str, kmer_size: int) -> ExactKmerCounter:
         )
     fmt = header.get("format")
     if fmt != "binary/sorted":
+        # same format coverage as the reference, same error shape
+        # (src/jellyfishreader.cpp:37-40)
         raise RuntimeError(
-            f"JellyfishReader: unsupported .jf format {fmt!r} "
-            "(only binary/sorted)."
+            f"JellyfishReader: Unsupported format '{fmt}"
         )
 
     counter_len = int(header["counter_len"])

@@ -109,6 +109,19 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         lib.pg_parse_fasta_chunk.argtypes = [u8p, ctypes.c_int64, u8p, i64p]
         lib.pg_encode_bases.restype = None
         lib.pg_encode_bases.argtypes = [u8p, ctypes.c_int64, u8p]
+        lib.pg_kc_create.restype = ctypes.c_void_p
+        lib.pg_kc_create.argtypes = [u64p, ctypes.c_int64]
+        lib.pg_kc_destroy.restype = None
+        lib.pg_kc_destroy.argtypes = [ctypes.c_void_p]
+        lib.pg_kc_stream_update.restype = None
+        lib.pg_kc_stream_update.argtypes = [
+            ctypes.c_void_p, u8p, i64p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.pg_kc_export.restype = None
+        lib.pg_kc_export.argtypes = [
+            ctypes.c_void_p, u64p, ctypes.c_int64, i64p, ctypes.c_int,
+        ]
         _LIB = lib
         return _LIB
 
@@ -259,6 +272,70 @@ class KmerHashIndex:
         handle = getattr(self, "_handle", None)
         if handle:
             self._lib.pg_hash_destroy(handle)
+            self._handle = None
+
+
+class KmerCountTable:
+    """Fused {key, count} open-addressing table for PRIME+UPDATE
+    streaming: one random cache-line touch per counted window (the
+    three-array KmerHashIndex layout cost ~3 DRAM misses per window),
+    probes prefetched in batches of 16. Counts accumulate inside the
+    table across stream calls and export once into sorted-key order."""
+
+    def __init__(self, keys: np.ndarray):
+        lib = _build_and_load()
+        if lib is None:
+            raise RuntimeError("native k-mer library unavailable")
+        assert keys.dtype == np.uint64
+        self._keys = keys
+        self._lib = lib
+        self._handle = lib.pg_kc_create(
+            keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(keys)
+        )
+
+    def stream_update_raw(
+        self, data: np.ndarray, offsets: np.ndarray, k: int,
+        n_threads: int = 0, shard=None, base: int = 0,
+    ) -> None:
+        n_seqs = len(offsets) - 1
+        if n_seqs <= 0:
+            return
+        if n_threads <= 0:
+            n_threads = os.cpu_count() or 1
+        shard_i, shard_n = shard if shard is not None else (0, 1)
+        self._lib.pg_kc_stream_update(
+            self._handle,
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_seqs, k, n_threads, shard_i, shard_n, base,
+        )
+
+    def stream_update(
+        self, seqs: List[bytes], k: int, n_threads: int = 0
+    ) -> None:
+        if not seqs:
+            return
+        data, offsets = _pack(seqs)
+        self.stream_update_raw(data, offsets, k, n_threads)
+
+    def export_counts(self, n_threads: int = 0) -> np.ndarray:
+        """Accumulated counts aligned with the constructor's keys."""
+        out = np.zeros(max(1, len(self._keys)), dtype=np.int64)
+        if n_threads <= 0:
+            n_threads = os.cpu_count() or 1
+        self._lib.pg_kc_export(
+            self._handle,
+            self._keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            len(self._keys),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_threads,
+        )
+        return out[: len(self._keys)]
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._lib.pg_kc_destroy(handle)
             self._handle = None
 
 
