@@ -732,6 +732,73 @@ void pg_kc_stream_update(
     for (auto& th : threads) th.join();
 }
 
+// In-place ascending sort of values within each
+// [offsets[s], offsets[s+1]) segment — the unique-kmer selection's
+// sort pattern (segment ids are already non-decreasing, so a global
+// lexsort is per-segment work in disguise; thousands of tiny
+// cache-local sorts run ~10x faster than one 16M-element lexsort).
+void pg_sort_segments(uint64_t* values, const int64_t* offsets,
+                      int64_t n_segs, int n_threads) {
+    auto worker = [&](int64_t lo, int64_t hi) {
+        for (int64_t s = lo; s < hi; ++s)
+            std::sort(values + offsets[s], values + offsets[s + 1]);
+    };
+    if (n_threads <= 1 || n_segs < 256) {
+        worker(0, n_segs);
+        return;
+    }
+    std::vector<std::thread> threads;
+    const int64_t chunk = (n_segs + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        const int64_t b = t * chunk;
+        const int64_t e = std::min(n_segs, b + chunk);
+        if (b >= e) break;
+        threads.emplace_back(worker, b, e);
+    }
+    for (auto& th : threads) th.join();
+}
+
+// STABLE in-place co-sort of (key, payload) pairs by key within each
+// segment (ties keep their original relative order — matching
+// np.lexsort semantics the selection pipeline's later stages rely on).
+void pg_kv_sort_segments(int64_t* keys, uint64_t* payload,
+                         const int64_t* offsets, int64_t n_segs,
+                         int n_threads) {
+    auto worker = [&](int64_t lo, int64_t hi) {
+        std::vector<std::pair<int64_t, uint64_t>> buf;
+        for (int64_t s = lo; s < hi; ++s) {
+            const int64_t b = offsets[s], e = offsets[s + 1];
+            const int64_t n = e - b;
+            if (n <= 1) continue;
+            buf.resize(n);
+            for (int64_t i = 0; i < n; ++i)
+                buf[i] = {keys[b + i], payload[b + i]};
+            std::stable_sort(
+                buf.begin(), buf.end(),
+                [](const auto& x, const auto& y) {
+                    return x.first < y.first;
+                });
+            for (int64_t i = 0; i < n; ++i) {
+                keys[b + i] = buf[i].first;
+                payload[b + i] = buf[i].second;
+            }
+        }
+    };
+    if (n_threads <= 1 || n_segs < 256) {
+        worker(0, n_segs);
+        return;
+    }
+    std::vector<std::thread> threads;
+    const int64_t chunk = (n_segs + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        const int64_t b = t * chunk;
+        const int64_t e = std::min(n_segs, b + chunk);
+        if (b >= e) break;
+        threads.emplace_back(worker, b, e);
+    }
+    for (auto& th : threads) th.join();
+}
+
 // out[i] = accumulated count of sorted_keys[i] (prefetch-batched).
 void pg_kc_export(void* handle, const uint64_t* sorted_keys, int64_t n,
                   int64_t* out, int n_threads) {

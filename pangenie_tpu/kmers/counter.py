@@ -185,43 +185,48 @@ class ExactKmerCounter(KmerCounter):
         """COUNT mode (jellyfish all-kmer counting) from FASTA/FASTQ.
 
         ``n_threads`` parallelizes the canonical-kmer extraction over
-        sequence chunks (the ctypes call into the native engine releases
-        the GIL, so host cores overlap — the reference gives its
-        jellyfish `-t`/`-e` to this phase, src/commands.cpp:647);
-        ``block_bases`` bounds each chunk (derived from the CLI's -e
+        raw sequence blocks (the ctypes call into the native engine
+        releases the GIL, so host cores overlap — the reference gives
+        its jellyfish `-t`/`-e` to this phase, src/commands.cpp:647);
+        ``block_bases`` bounds each block (derived from the CLI's -e
         hash size by the index driver)."""
-        if n_threads > 1 and native.available():
-            from concurrent.futures import ThreadPoolExecutor
+        if native.available():
+            # blocks sized so a threaded run has >= 2 per worker
+            raw_blocks = try_sequence_blocks(
+                filename,
+                block_bytes=int(
+                    min(max(block_bases // max(1, 2 * n_threads), 1 << 22),
+                        64 << 20)
+                ),
+            )
+            if raw_blocks is not None:
+                # raw-block path: native FASTA parse + extraction
+                # straight off the byte buffers — no per-record Python
+                # bytes; blocks extract concurrently when threaded
+                from concurrent.futures import ThreadPoolExecutor
 
-            chunks: List[List[bytes]] = []
-            cur: List[bytes] = []
-            cur_bases = 0
-            for seq in iter_sequences(filename):
-                cur.append(seq)
-                cur_bases += len(seq)
-                if cur_bases >= block_bases:
-                    chunks.append(cur)
-                    cur, cur_bases = [], 0
-            if cur:
-                chunks.append(cur)
-            if len(chunks) > 1:
-                with ThreadPoolExecutor(max_workers=n_threads) as pool:
-                    parts = list(
-                        pool.map(
-                            lambda c: cls._extract_canonical(c, k), chunks
-                        )
+                def _extract(block):
+                    data, offsets = block
+                    return native.extract_canonical_raw(
+                        np.asarray(data, dtype=np.uint8), offsets, k
                     )
-                kmers = np.concatenate(parts) if parts else np.empty(
-                    0, dtype=np.uint64
+
+                if n_threads > 1:
+                    with ThreadPoolExecutor(max_workers=n_threads) as p:
+                        parts = list(p.map(_extract, raw_blocks))
+                else:
+                    parts = [_extract(b) for b in raw_blocks]
+                parts = [p for p in parts if p is not None and len(p)]
+                kmers = (
+                    np.concatenate(parts)
+                    if parts
+                    else np.empty(0, dtype=np.uint64)
                 )
                 counted = native.count_sorted(kmers)
                 if counted is not None:
                     return cls(k, counted[0], counted[1])
                 keys, counts = np.unique(kmers, return_counts=True)
                 return cls(k, keys, counts.astype(np.int64))
-            return cls.count_sequences(
-                chunks[0] if chunks else [], k
-            )
         return cls.count_sequences(iter_sequences(filename), k)
 
     @classmethod

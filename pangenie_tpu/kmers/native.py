@@ -122,6 +122,14 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         lib.pg_kc_export.argtypes = [
             ctypes.c_void_p, u64p, ctypes.c_int64, i64p, ctypes.c_int,
         ]
+        lib.pg_sort_segments.restype = None
+        lib.pg_sort_segments.argtypes = [
+            u64p, i64p, ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.pg_kv_sort_segments.restype = None
+        lib.pg_kv_sort_segments.argtypes = [
+            i64p, u64p, i64p, ctypes.c_int64, ctypes.c_int,
+        ]
         _LIB = lib
         return _LIB
 
@@ -152,6 +160,73 @@ def extract_canonical_batch(seqs: List[bytes], k: int) -> Optional[np.ndarray]:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
     )
     return out[:n].copy()
+
+
+def extract_canonical_raw(
+    data: np.ndarray, offsets: np.ndarray, k: int
+) -> Optional[np.ndarray]:
+    """Canonical k-mers straight from a raw concatenated byte buffer +
+    offsets (the parse_fasta_chunk layout) — no per-sequence Python
+    bytes objects on the corpus-counting path."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n_seqs = len(offsets) - 1
+    if n_seqs <= 0:
+        return np.empty(0, dtype=np.uint64)
+    out = np.empty(max(1, len(data)), dtype=np.uint64)
+    n = lib.pg_extract_canonical(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_seqs, k,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    return out[:n].copy()
+
+
+def sort_segments(
+    values: np.ndarray, offsets: np.ndarray, n_threads: int = 0
+) -> bool:
+    """In-place per-segment ascending sort of a uint64 array; segments
+    delimited by ``offsets``. False when native is unavailable."""
+    lib = _build_and_load()
+    if lib is None:
+        return False
+    assert values.dtype == np.uint64 and values.flags["C_CONTIGUOUS"]
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    lib.pg_sort_segments(
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(offsets) - 1, n_threads,
+    )
+    return True
+
+
+def kv_sort_segments(
+    keys: np.ndarray, payload: np.ndarray, offsets: np.ndarray,
+    n_threads: int = 0,
+) -> bool:
+    """STABLE in-place per-segment co-sort of (int64 key, uint64
+    payload) pairs by key. False when native is unavailable."""
+    lib = _build_and_load()
+    if lib is None:
+        return False
+    assert keys.dtype == np.int64 and keys.flags["C_CONTIGUOUS"]
+    assert payload.dtype == np.uint64 and payload.flags["C_CONTIGUOUS"]
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    lib.pg_kv_sort_segments(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        payload.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(offsets) - 1, n_threads,
+    )
+    return True
 
 
 def count_sorted(kmers: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndarray]]:

@@ -453,6 +453,46 @@ def _select_kmers_with_counts(
     return {a: kmers for a, kmers in result.items() if kmers}
 
 
+def _sort_within_groups(
+    values: np.ndarray, groups: np.ndarray, n_groups: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Ascending sort of ``values`` within each run of equal ``groups``
+    (groups non-decreasing). Equivalent to applying
+    ``np.lexsort((values, groups))`` — but the group structure makes it
+    thousands of tiny cache-local native sorts instead of one
+    multi-million-element lexsort (the selection pipeline's wall)."""
+    from . import native
+
+    if len(values) == 0:
+        return values, groups
+    off = np.searchsorted(groups, np.arange(n_groups + 1))
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    if native.sort_segments(values, off):
+        return values, groups
+    order = np.lexsort((values, groups))
+    return values[order], groups[order]
+
+
+def _stable_kv_sort_within_groups(
+    keys: np.ndarray, payload: np.ndarray, groups: np.ndarray,
+    n_groups: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """STABLE per-group co-sort of (key, payload) by key — equivalent
+    to applying ``np.lexsort((keys, groups))`` to both arrays (lexsort
+    is stable, so equal keys keep their original payload order)."""
+    from . import native
+
+    if len(keys) == 0:
+        return keys, payload
+    off = np.searchsorted(groups, np.arange(n_groups + 1))
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    payload = np.ascontiguousarray(payload, dtype=np.uint64)
+    if native.kv_sort_segments(keys, payload, off):
+        return keys, payload
+    order = np.lexsort((keys, groups))
+    return keys[order], payload[order]
+
+
 def _concat(parts: List[np.ndarray]) -> np.ndarray:
     if not parts:
         return np.empty(0, dtype=np.uint64)
@@ -609,8 +649,7 @@ class UniqueKmerComputer:
             if len(seg_seqs):
                 kmers, segs = flat_segment_kmers(seg_seqs, k)
                 segs = segs.astype(np.int64)
-                order = np.lexsort((kmers, segs))
-                sk, ss = kmers[order], segs[order]
+                sk, ss = _sort_within_groups(kmers, segs, len(seg_seqs))
                 new = np.ones(len(sk), bool)
                 if len(sk) > 1:
                     new[1:] = (ss[1:] != ss[:-1]) | (sk[1:] != sk[:-1])
@@ -621,10 +660,17 @@ class UniqueKmerComputer:
                 u_kmer = sk[uniq_rows]
                 u_var = seg_var[u_seg]
                 u_allele = seg_allele[u_seg]
-                # local_count == 1: kmer unique-within exactly one allele
-                order2 = np.lexsort((u_kmer, u_var))
-                vv, vk = u_var[order2], u_kmer[order2]
-                va = u_allele[order2]
+                # local_count == 1: kmer unique-within exactly one
+                # allele. u_var is non-decreasing, so the (kmer, var)
+                # lexsort is a stable per-variant kmer sort carrying
+                # the allele along (2k <= 62 bits fits int64)
+                vk_key, va_pay = _stable_kv_sort_within_groups(
+                    u_kmer.astype(np.int64), u_allele.astype(np.uint64),
+                    u_var, V,
+                )
+                vv = u_var
+                vk = vk_key.astype(np.uint64)
+                va = va_pay.astype(np.int64)
                 new2 = np.ones(len(vk), bool)
                 if len(vk) > 1:
                     new2[1:] = (vv[1:] != vv[:-1]) | (vk[1:] != vk[:-1])
@@ -644,9 +690,10 @@ class UniqueKmerComputer:
                     a3 = cand_allele[m]
                     k3 = cand_kmer[m]
                     # per-allele cap: rank within (var, allele), kmers
-                    # in lexicographic order
-                    order3 = np.lexsort((k3, a3, v3))
-                    v3, a3, k3 = v3[order3], a3[order3], k3[order3]
+                    # in lexicographic order. Input is sorted by
+                    # (var, kmer), so a stable per-variant sort by
+                    # allele yields (var, allele, kmer) order
+                    a3, k3 = _stable_kv_sort_within_groups(a3, k3, v3, V)
                     n3 = len(v3)
                     if n3:
                         new3 = np.ones(n3, bool)
@@ -660,9 +707,13 @@ class UniqueKmerComputer:
                             v3[keep3], a3[keep3], k3[keep3], rank[keep3]
                         )
                         # round-robin total cap: global pick order is
-                        # (rank, allele) within each variant
-                        order4 = np.lexsort((a4, r4, v4))
-                        v5, a5, k5 = v4[order4], a4[order4], k4[order4]
+                        # (rank, allele) within each variant — one
+                        # stable per-variant sort on (rank<<18)|allele
+                        key4, k5 = _stable_kv_sort_within_groups(
+                            (r4 << ALLELE_BITS) | a4, k4, v4, V
+                        )
+                        v5 = v4
+                        a5 = key4 & ((1 << ALLELE_BITS) - 1)
                         n5 = len(v5)
                         new5 = np.ones(n5, bool)
                         if n5:
@@ -674,17 +725,20 @@ class UniqueKmerComputer:
                         keep5 = pos < max_total[v5]
                         v6, a6, k6 = v5[keep5], a5[keep5], k5[keep5]
                         # final layout: grouped by allele, kmers in
-                        # pick (== lexicographic) order
-                        order6 = np.lexsort((k6, a6, v6))
-                        fv, fa, fk = v6[order6], a6[order6], k6[order6]
+                        # pick (== lexicographic) order — within
+                        # (var, allele) entries already ascend by kmer
+                        # (rank order), so one more stable allele sort
+                        fa, fk = _stable_kv_sort_within_groups(
+                            a6, k6, v6, V
+                        )
+                        fv = v6
 
             # ---- local coverage from flanking kmers
             cov_sum = np.zeros(V, np.int64)
             cov_cnt = np.zeros(V, np.int64)
             fkm, fsg = flat_segment_kmers(flank_seqs, k)
             fsg = fsg.astype(np.int64)
-            orderF = np.lexsort((fkm, fsg))
-            fkm, fsg = fkm[orderF], fsg[orderF]
+            fkm, fsg = _sort_within_groups(fkm, fsg, len(flank_seqs))
             newF = np.ones(len(fkm), bool)
             if len(fkm) > 1:
                 newF[1:] = (fsg[1:] != fsg[:-1]) | (fkm[1:] != fkm[:-1])
@@ -1032,8 +1086,9 @@ class StepwiseUniqueKmerComputer:
                 if len(seg_seqs):
                     kmers, segs = flat_segment_kmers(seg_seqs, k)
                     segs = segs.astype(np.int64)
-                    order = np.lexsort((kmers, segs))
-                    sk, ss = kmers[order], segs[order]
+                    sk, ss = _sort_within_groups(
+                        kmers, segs, len(seg_seqs)
+                    )
                     new = np.ones(len(sk), bool)
                     if len(sk) > 1:
                         new[1:] = (ss[1:] != ss[:-1]) | (sk[1:] != sk[:-1])
@@ -1044,9 +1099,13 @@ class StepwiseUniqueKmerComputer:
                     u_kmer = sk[uniq_rows]
                     u_var = seg_var[u_seg]
                     u_allele = seg_allele[u_seg]
-                    order2 = np.lexsort((u_kmer, u_var))
-                    vv, vk = u_var[order2], u_kmer[order2]
-                    va = u_allele[order2]
+                    vk_key, va_pay = _stable_kv_sort_within_groups(
+                        u_kmer.astype(np.int64),
+                        u_allele.astype(np.uint64), u_var, V,
+                    )
+                    vv = u_var
+                    vk = vk_key.astype(np.uint64)
+                    va = va_pay.astype(np.int64)
                     new2 = np.ones(len(vk), bool)
                     if len(vk) > 1:
                         new2[1:] = (vv[1:] != vv[:-1]) | (vk[1:] != vk[:-1])
@@ -1066,8 +1125,9 @@ class StepwiseUniqueKmerComputer:
                         v3 = cand_var[m]
                         a3 = cand_allele[m]
                         k3 = cand_kmer[m]
-                        order3 = np.lexsort((k3, a3, v3))
-                        v3, a3, k3 = v3[order3], a3[order3], k3[order3]
+                        a3, k3 = _stable_kv_sort_within_groups(
+                            a3, k3, v3, V
+                        )
                         n3 = len(v3)
                         if n3:
                             new3 = np.ones(n3, bool)
@@ -1082,8 +1142,11 @@ class StepwiseUniqueKmerComputer:
                             v4, a4, k4, r4 = (
                                 v3[keep3], a3[keep3], k3[keep3], rank[keep3]
                             )
-                            order4 = np.lexsort((a4, r4, v4))
-                            v5, a5, k5 = v4[order4], a4[order4], k4[order4]
+                            key4, k5 = _stable_kv_sort_within_groups(
+                                (r4 << ALLELE_BITS) | a4, k4, v4, V
+                            )
+                            v5 = v4
+                            a5 = key4 & ((1 << ALLELE_BITS) - 1)
                             n5 = len(v5)
                             new5 = np.ones(n5, bool)
                             if n5:
@@ -1094,14 +1157,17 @@ class StepwiseUniqueKmerComputer:
                             pos = np.arange(n5) - var_start
                             keep5 = pos < max_total[v5]
                             v6, a6, k6 = v5[keep5], a5[keep5], k5[keep5]
-                            order6 = np.lexsort((k6, a6, v6))
-                            fv, fa, fk = v6[order6], a6[order6], k6[order6]
+                            fa, fk = _stable_kv_sort_within_groups(
+                                a6, k6, v6, V
+                            )
+                            fv = v6
 
                 # flanks: <=12 genome-unique kmers per side
                 fkm, fsg = flat_segment_kmers(flank_seqs, k)
                 fsg = fsg.astype(np.int64)
-                orderF = np.lexsort((fkm, fsg))
-                fkm, fsg = fkm[orderF], fsg[orderF]
+                fkm, fsg = _sort_within_groups(
+                    fkm, fsg, len(flank_seqs)
+                )
                 newF = np.ones(len(fkm), bool)
                 if len(fkm) > 1:
                     newF[1:] = (fsg[1:] != fsg[:-1]) | (fkm[1:] != fkm[:-1])

@@ -312,21 +312,27 @@ class PanelBuilder:
                             "PanelBuilder.write_path_segments: variants were deleted."
                         )
                     reader = graph.fasta_reader
+                    chrom_seq = reader.get_sequence(element)
                     prev_end = 0
+                    parts: List[str] = []
                     for i in range(graph.size()):
                         variant = graph.get_variant(i)
-                        start_pos = variant.get_start_position()
-                        out.write(f">{element}_reference_{start_pos}\n")
-                        out.write(
-                            reader.get_subsequence(element, prev_end, start_pos).decode(
-                                "ascii"
-                            )
-                            + "\n"
+                        start_pos = variant.start_position
+                        parts.append(f">{element}_reference_{start_pos}\n")
+                        parts.append(
+                            chrom_seq[prev_end:start_pos].decode("ascii")
                         )
-                        for allele in range(variant.nr_of_alleles()):
-                            out.write(f">{element}_{start_pos}_{allele}\n")
-                            out.write(variant.get_allele_string(allele) + "\n")
+                        parts.append("\n")
+                        seqs, _undef = variant.selection_alleles()
+                        for allele, seq in enumerate(seqs):
+                            parts.append(f">{element}_{start_pos}_{allele}\n")
+                            parts.append(seq.decode("ascii"))
+                            parts.append("\n")
                         prev_end = variant.get_end_position()
+                        if len(parts) >= 4096:
+                            out.write("".join(parts))
+                            parts = []
+                    out.write("".join(parts))
                     out.write(f">{element}_reference_end\n")
                     chr_len = reader.get_size_of(element)
                     out.write(
