@@ -204,12 +204,20 @@ struct KmerHash {
         mask = size - 1;
         keys.assign(size, EMPTY);
         slots.assign(size, -1);
-        for (int64_t i = 0; i < n; ++i) {
-            const uint64_t key = sorted_keys[i];
-            uint64_t h = mix(key) & mask;
-            while (keys[h] != EMPTY) h = (h + 1) & mask;
-            keys[h] = key;
-            slots[h] = i;
+        constexpr int B = 16;  // prefetch-batched random inserts
+        uint64_t hs[B];
+        for (int64_t i = 0; i < n; i += B) {
+            const int m = (int)std::min<int64_t>(B, n - i);
+            for (int j = 0; j < m; ++j) {
+                hs[j] = mix(sorted_keys[i + j]) & mask;
+                __builtin_prefetch(&keys[hs[j]], 1, 1);
+            }
+            for (int j = 0; j < m; ++j) {
+                uint64_t h = hs[j];
+                while (keys[h] != EMPTY) h = (h + 1) & mask;
+                keys[h] = sorted_keys[i + j];
+                slots[h] = i + j;
+            }
         }
     }
 
@@ -630,11 +638,21 @@ struct KmerCountTable {
         while (size < (uint64_t)(2 * n + 1)) size <<= 1;
         mask = size - 1;
         tab.assign(size, Entry{EMPTY, 0});
-        for (int64_t i = 0; i < n; ++i) {
-            const uint64_t key = sorted_keys[i];
-            uint64_t h = mix(key) & mask;
-            while (tab[h].key != EMPTY) h = (h + 1) & mask;
-            tab[h].key = key;
+        // prefetch-batched build: the 2n random insert probes are
+        // DRAM-latency-bound exactly like the streaming loop
+        constexpr int B = 16;
+        uint64_t hs[B];
+        for (int64_t i = 0; i < n; i += B) {
+            const int m = (int)std::min<int64_t>(B, n - i);
+            for (int j = 0; j < m; ++j) {
+                hs[j] = mix(sorted_keys[i + j]) & mask;
+                __builtin_prefetch(&tab[hs[j]], 1, 1);
+            }
+            for (int j = 0; j < m; ++j) {
+                uint64_t h = hs[j];
+                while (tab[h].key != EMPTY) h = (h + 1) & mask;
+                tab[h].key = sorted_keys[i + j];
+            }
         }
     }
 };
