@@ -146,3 +146,34 @@ def test_update_readcount_bounds():
     assert u.get_readcount_of(0) == 9
     with pytest.raises(RuntimeError):
         u.update_readcount(3, 1)
+
+
+def test_segment_sort_helpers_match_lexsort():
+    """The native per-segment sorts must match np.lexsort exactly,
+    including stability on ties (the selection pipeline's later stages
+    rely on lexsort's tie order)."""
+    import numpy as np
+
+    from pangenie_tpu.kmers.unique import (
+        _sort_within_groups, _stable_kv_sort_within_groups,
+    )
+
+    rng = np.random.default_rng(0)
+    n_groups = 37
+    groups = np.sort(rng.integers(0, n_groups, size=5000)).astype(np.int64)
+    values = rng.integers(0, 50, size=5000).astype(np.uint64)  # many ties
+    order = np.lexsort((values, groups))
+    want_v = values[order]
+    got_v, got_g = _sort_within_groups(values.copy(), groups, n_groups)
+    np.testing.assert_array_equal(got_v, want_v)
+    np.testing.assert_array_equal(got_g, groups)
+
+    keys = rng.integers(0, 20, size=5000).astype(np.int64)
+    payload = rng.integers(0, 1 << 62, size=5000).astype(np.uint64)
+    order = np.lexsort((keys, groups))
+    want_k, want_p = keys[order], payload[order]
+    got_k, got_p = _stable_kv_sort_within_groups(
+        keys.copy(), payload.copy(), groups, n_groups
+    )
+    np.testing.assert_array_equal(got_k, want_k)
+    np.testing.assert_array_equal(got_p, want_p)
