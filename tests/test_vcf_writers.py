@@ -111,3 +111,59 @@ def test_phasing_undefined_haplotype(tmp_path):
     gt = sample.split(":")[0]
     assert gt.split("|")[0] == "."
     assert gt.split("|")[1] != "."
+
+
+def test_bulk_fast_path_matches_per_record_path(tmp_path):
+    """The vectorized biallelic write path must render byte-identically
+    to the per-record reference path across random likelihood shapes,
+    in both ignore_imputed modes."""
+    rng = np.random.default_rng(7)
+    ref = b"G" * 40 + bytes(rng.choice([65, 67, 71, 84], 200).astype(np.uint8)) + b"C" * 40
+    fasta = FastaReader()
+    fasta._sequences["chr1"] = ref
+    graph = ChromosomeGraph(fasta, "chr1", 10, False)
+    results = []
+    pos = 40
+    for i in range(40):
+        a_ref = ref[pos:pos + 1]
+        alt = b"T" if a_ref != b"T" else b"A"
+        v = VariantBubble(
+            ref[pos - 9:pos], ref[pos + 1:pos + 10], "chr1", pos, pos + 1,
+            [a_ref, alt], [0, 1, 1, 0],
+        )
+        graph.add_variant_cluster([v], [[]])
+        g = GenotypeLikelihoods()
+        kind = i % 5
+        if kind == 0:  # normalized confident call
+            g.add_to_likelihood(0, 0, np.longdouble(1.0) - np.longdouble(1e-19))
+            g.add_to_likelihood(0, 1, np.longdouble(1e-19))
+        elif kind == 1:  # tie -> ./.
+            g.add_to_likelihood(0, 0, np.longdouble(0.5))
+            g.add_to_likelihood(1, 1, np.longdouble(0.5))
+        elif kind == 2:  # empty -> 0/0 with P=1
+            pass
+        elif kind == 3:  # het call
+            g.add_to_likelihood(0, 1, np.longdouble(0.9))
+            g.add_to_likelihood(0, 0, np.longdouble(0.1))
+        else:  # hom-alt with tiny tail
+            g.add_to_likelihood(1, 1, np.longdouble(0.999))
+            g.add_to_likelihood(0, 1, np.longdouble(0.001))
+        g.coverage = int(rng.integers(3, 30))
+        g.nr_unique_kmers = int(rng.integers(0, 40))
+        results.append(g)
+        pos += 5
+
+    for flag in (False, True):
+        fast = str(tmp_path / f"fast{flag}.vcf")
+        graph.write_genotypes(fast, results, True, "s", ignore_imputed=flag)
+        orig = ChromosomeGraph._bulk_genotype_lines
+        ChromosomeGraph._bulk_genotype_lines = lambda self, r, ig: (
+            np.zeros(self.size(), bool), [None] * self.size()
+        )
+        try:
+            slow = str(tmp_path / f"slow{flag}.vcf")
+            graph.write_genotypes(slow, results, True, "s",
+                                  ignore_imputed=flag)
+        finally:
+            ChromosomeGraph._bulk_genotype_lines = orig
+        assert open(fast).read() == open(slow).read()
