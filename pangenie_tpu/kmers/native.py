@@ -89,10 +89,13 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, i64p, u64p, ctypes.c_int64, i64p,
             ctypes.c_int,
         ]
+        # hot per-VCF-line call: c_char_p lets Python bytes pass with
+        # no data_as/cast object churn; the out pointer goes as a raw
+        # address (ctypes .data int) via c_void_p
         lib.pg_parse_gt.restype = ctypes.c_int64
         lib.pg_parse_gt.argtypes = [
-            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p,
         ]
         lib.pg_hash_stream_update.restype = None
         lib.pg_hash_stream_update.argtypes = [
@@ -529,15 +532,15 @@ def parse_gt_line(gt_region: bytes, n_base_alleles: int,
     unavailable or the region needs the Python fallback (sample-count
     mismatch). Raises RuntimeError with PanGenie-compatible messages
     on malformed genotypes."""
-    lib = _build_and_load()
+    lib = _LIB
     if lib is None:
-        return None
-    buf = np.frombuffer(gt_region, dtype=np.uint8)
+        lib = _build_and_load()
+        if lib is None:
+            return None
     out = np.empty(2 * n_samples, dtype=np.int32)
     rc = lib.pg_parse_gt(
-        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        len(buf), n_base_alleles, n_samples,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        gt_region, len(gt_region), n_base_alleles, n_samples,
+        out.ctypes.data,
     )
     if rc >= 0:
         return out, int(rc)
