@@ -750,6 +750,53 @@ void pg_kc_stream_update(
     for (auto& th : threads) th.join();
 }
 
+// Reference unique_kmers() enumeration over a segment batch
+// (src/uniquekmercomputer.cpp:9-32 semantics): NON-canonical kmers,
+// invalid bases packed as code 3, body windows emitted only when
+// N-free, the FINAL window emitted unconditionally (sequences shorter
+// than k roll into one final window with implicit leading zeros).
+// out_kmers/out_segs must hold total_data_len + n_seqs entries.
+int64_t pg_extract_segment_kmers(
+    const uint8_t* data, const int64_t* offsets, int64_t n_seqs, int k,
+    uint64_t* out_kmers, int32_t* out_segs) {
+    uint8_t code[256];
+    init_code_table(code);
+    const uint64_t mask =
+        (k < 32) ? ((1ULL << (2 * k)) - 1ULL) : ~0ULL;
+    int64_t n_out = 0;
+    for (int64_t s = 0; s < n_seqs; ++s) {
+        const uint8_t* seq = data + offsets[s];
+        const int64_t len = offsets[s + 1] - offsets[s];
+        uint64_t fwd = 0;
+        int valid = 0;
+        if (len < k) {
+            for (int64_t i = 0; i < len; ++i) {
+                uint8_t c = code[seq[i]];
+                if (c > 3) c = 3;
+                fwd = ((fwd << 2) | c) & mask;
+            }
+            out_kmers[n_out] = fwd;
+            out_segs[n_out++] = (int32_t)s;
+            continue;
+        }
+        for (int64_t i = 0; i < len; ++i) {
+            uint8_t c = code[seq[i]];
+            if (c > 3) {
+                c = 3;
+                valid = 0;
+            } else {
+                ++valid;
+            }
+            fwd = ((fwd << 2) | c) & mask;
+            if (i >= k - 1 && (valid >= k || i == len - 1)) {
+                out_kmers[n_out] = fwd;
+                out_segs[n_out++] = (int32_t)s;
+            }
+        }
+    }
+    return n_out;
+}
+
 // In-place ascending sort of values within each
 // [offsets[s], offsets[s+1]) segment — the unique-kmer selection's
 // sort pattern (segment ids are already non-decreasing, so a global

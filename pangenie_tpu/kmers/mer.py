@@ -231,6 +231,15 @@ def flat_segment_kmers(seqs, k: int):
     n = len(seqs)
     if n == 0:
         return np.empty(0, np.uint64), np.empty(0, np.int32)
+    from . import native as _native
+
+    if _native.available():
+        data = np.frombuffer(b"".join(seqs), dtype=np.uint8)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in seqs], out=offsets[1:])
+        result = _native.extract_segment_kmers(data, offsets, k)
+        if result is not None:
+            return result
     lens = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=n)
     if int(lens.min(initial=k)) < k:
         # rare (alleles shorter than k appear only with tiny test k):

@@ -125,6 +125,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         lib.pg_kc_export.argtypes = [
             ctypes.c_void_p, u64p, ctypes.c_int64, i64p, ctypes.c_int,
         ]
+        lib.pg_extract_segment_kmers.restype = ctypes.c_int64
+        lib.pg_extract_segment_kmers.argtypes = [
+            u8p, i64p, ctypes.c_int64, ctypes.c_int, u64p,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.pg_sort_segments.restype = None
         lib.pg_sort_segments.argtypes = [
             u64p, i64p, ctypes.c_int64, ctypes.c_int,
@@ -187,6 +192,31 @@ def extract_canonical_raw(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
     )
     return out[:n].copy()
+
+
+def extract_segment_kmers(
+    data: np.ndarray, offsets: np.ndarray, k: int
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Reference-semantics allele kmer enumeration (non-canonical,
+    N-free body windows + unconditional final window) over a packed
+    segment batch; None when native is unavailable."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n_seqs = len(offsets) - 1
+    cap = max(1, len(data) + n_seqs)
+    kmers = np.empty(cap, dtype=np.uint64)
+    segs = np.empty(cap, dtype=np.int32)
+    n = lib.pg_extract_segment_kmers(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_seqs, k,
+        kmers.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        segs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return kmers[:n].copy(), segs[:n].copy()
 
 
 def sort_segments(

@@ -782,12 +782,13 @@ class UniqueKmerComputer:
             fv2 = fv[keepk]
             fa2 = fa[keepk].astype(np.int32)
             counts2 = read_counts[keepk].astype(np.int32)
-            row_off = np.searchsorted(fv2, np.arange(V + 1))
+            row_off = np.searchsorted(fv2, np.arange(V + 1)).tolist()
             coverage_l = coverage_v.tolist()
+            fa2_list = fa2.tolist()
             for j in range(V):
                 record = records[j]
                 record.coverage = coverage_l[j]
-                lo, hi = int(row_off[j]), int(row_off[j + 1])
+                lo, hi = row_off[j], row_off[j + 1]
                 if hi > lo:
                     # bulk equivalent of insert_kmers_single: per-record
                     # views of the block arrays (single-allele kmers)
@@ -796,8 +797,11 @@ class UniqueKmerComputer:
                     record.allele_indptr = np.arange(
                         hi - lo + 1, dtype=np.int32
                     )
-                    for a in np.unique(fa2[lo:hi]).tolist():
-                        record.alleles.setdefault(a, False)
+                    # alleles are sorted within the record slice;
+                    # setdefault dedupes without a per-record np.unique
+                    alleles = record.alleles
+                    for a in fa2_list[lo:hi]:
+                        alleles.setdefault(a, False)
                 result.append(record)
 
             if delete_processed_variants:
@@ -1190,9 +1194,10 @@ class StepwiseUniqueKmerComputer:
                     segF, kmF = segF[chosen], kmF[chosen]
 
                 # per-record insert + bulk TSV
+                sel_off = np.searchsorted(fv, np.arange(V + 1)).tolist()
+                fa_list = fa.tolist()
                 for j in range(V):
-                    lo = int(np.searchsorted(fv, j))
-                    hi = int(np.searchsorted(fv, j + 1))
+                    lo, hi = sel_off[j], sel_off[j + 1]
                     record = records[j]
                     if hi > lo:
                         record._kmer_counts = np.zeros(hi - lo, np.int32)
@@ -1200,8 +1205,9 @@ class StepwiseUniqueKmerComputer:
                         record.allele_indptr = np.arange(
                             hi - lo + 1, dtype=np.int32
                         )
-                        for a in np.unique(fa[lo:hi]).tolist():
-                            record.alleles.setdefault(int(a), False)
+                        alleles = record.alleles
+                        for a in fa_list[lo:hi]:
+                            alleles.setdefault(a, False)
                     result.append(record)
                 kmer_strs_all = decode_kmers_bulk(fk, k)
                 flank_strs_all = decode_kmers_bulk(kmF, k)
