@@ -684,6 +684,7 @@ void pg_kc_stream_update(
         (k < 32) ? ((1ULL << (2 * k)) - 1ULL) : ~0ULL;
     constexpr int B = 16;
 
+    const int rc_shift = 2 * (k - 1);
     auto worker = [&](int64_t s_begin, int64_t s_end) {
         uint64_t pend[B];
         uint64_t hs[B];
@@ -716,17 +717,19 @@ void pg_kc_stream_update(
             const int64_t len = offsets[s + 1] - offsets[s];
             if (len < k) continue;
             uint64_t fwd = 0;
+            uint64_t rc = 0;  // incremental reverse complement
             int valid = 0;
             for (int64_t i = 0; i < len; ++i) {
                 const uint8_t c = code[seq[i]];
                 if (c > 3) {
                     valid = 0;
                     fwd = 0;
+                    rc = 0;
                     continue;
                 }
                 fwd = ((fwd << 2) | c) & kmask;
+                rc = (rc >> 2) | ((uint64_t)(3 - c) << rc_shift);
                 if (++valid >= k) {
-                    const uint64_t rc = revcomp(fwd, k);
                     pend[np++] = fwd < rc ? fwd : rc;
                     if (np == B) flush();
                 }

@@ -522,6 +522,63 @@ class ChromosomeGraph:
         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t{sample}\n"
     )
 
+    def _bulk_phasing_lines(
+        self,
+        genotyping_result: List[GenotypeLikelihoods],
+        ignore_imputed: bool,
+    ):
+        """Vectorized GT:KC rendering for plain biallelic records
+        (same eligibility rules as :meth:`_bulk_genotype_lines`)."""
+        N = self.size()
+        ok = np.zeros(N, dtype=bool)
+        lines: List[Optional[str]] = [None] * N
+        if N == 0:
+            return ok, lines
+        hdr = self.selection_header()
+        P = hdr.paths.shape[1]
+        size_for_af = P - 1 if self.add_reference else P
+        if size_for_af <= 0:
+            return ok, lines
+        af1 = (hdr.paths == 1).sum(axis=1) / float(size_for_af)
+        from ..io.sequence import contains_undefined
+
+        chrom = self.chromosome
+        variant_ids = self.variant_ids
+        sep_counts = np.fromiter(
+            (len(v.allele_sequences) for v in self.variants),
+            dtype=np.int64, count=N,
+        )
+        counters = np.concatenate([[0], np.cumsum(sep_counts[:-1])]).tolist()
+        starts1 = (hdr.starts + 1).tolist()
+        af_l = af1.tolist()
+        for i, variant in enumerate(self.variants):
+            if len(variant.allele_sequences) != 1:
+                continue
+            seqs0 = variant.allele_sequences[0]
+            if len(variant.allele_combinations) != 2:
+                continue
+            if contains_undefined(seqs0[0]) or contains_undefined(seqs0[1]):
+                continue
+            gl = genotyping_result[i]
+            h1, h2 = gl.haplotype_1, gl.haplotype_2
+            if not (0 <= h1 <= 1 and 0 <= h2 <= 1):
+                continue
+            if ignore_imputed and gl.nr_unique_kmers == 0:
+                gt_field = "./."
+            else:
+                gt_field = f"{h1}|{h2}"
+            ids = variant_ids[counters[i]]
+            info = f"AF={af_l[i]:.6g};UK={gl.nr_unique_kmers};MA=0"
+            if ids:
+                info += ";ID=" + ",".join(ids)
+            lines[i] = (
+                f"{chrom}\t{starts1[i]}\t.\t"
+                f"{seqs0[0].decode('ascii')}\t{seqs0[1].decode('ascii')}"
+                f"\t.\tPASS\t{info}\tGT:KC\t{gt_field}:{gl.coverage}\n"
+            )
+            ok[i] = True
+        return ok, lines
+
     def write_phasing(
         self,
         filename: str,
@@ -539,12 +596,19 @@ class ChromosomeGraph:
             raise RuntimeError(
                 "ChromosomeGraph.write_phasing: number of variants and phasings differ."
             )
+        fast_ok, fast_lines = self._bulk_phasing_lines(
+            genotyping_result, ignore_imputed
+        )
         mode = "w" if write_header else "a"
         with open(filename, mode) as out:
             if write_header:
                 out.write(self._PH_HEADER.format(date=_current_date(), sample=sample))
             counter = 0
             for i in range(self.size()):
+                if fast_ok[i]:
+                    out.write(fast_lines[i])
+                    counter += 1
+                    continue
                 variant = self.get_variant(i)
                 coverage = genotyping_result[i].coverage
                 nr_unique_kmers = genotyping_result[i].nr_unique_kmers

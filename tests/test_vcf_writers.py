@@ -167,3 +167,45 @@ def test_bulk_fast_path_matches_per_record_path(tmp_path):
         finally:
             ChromosomeGraph._bulk_genotype_lines = orig
         assert open(fast).read() == open(slow).read()
+
+
+def test_bulk_phasing_path_matches_per_record_path(tmp_path):
+    """The vectorized phased-GT write path must render byte-identically
+    to the per-record reference path."""
+    rng = np.random.default_rng(9)
+    ref = b"G" * 40 + bytes(rng.choice([65, 67, 71, 84], 200).astype(np.uint8)) + b"C" * 40
+    fasta = FastaReader()
+    fasta._sequences["chr1"] = ref
+    graph = ChromosomeGraph(fasta, "chr1", 10, False)
+    results = []
+    pos = 40
+    for i in range(30):
+        a_ref = ref[pos:pos + 1]
+        alt = b"T" if a_ref != b"T" else b"A"
+        v = VariantBubble(
+            ref[pos - 9:pos], ref[pos + 1:pos + 10], "chr1", pos, pos + 1,
+            [a_ref, alt], [0, 1, 1, 0],
+        )
+        graph.add_variant_cluster([v], [[]])
+        g = GenotypeLikelihoods()
+        g.haplotype_1 = int(rng.integers(0, 2))
+        g.haplotype_2 = int(rng.integers(0, 2))
+        g.coverage = int(rng.integers(3, 30))
+        g.nr_unique_kmers = int(rng.integers(0, 30))
+        results.append(g)
+        pos += 5
+
+    for flag in (False, True):
+        fast = str(tmp_path / f"pf{flag}.vcf")
+        graph.write_phasing(fast, results, True, "s", ignore_imputed=flag)
+        orig = ChromosomeGraph._bulk_phasing_lines
+        ChromosomeGraph._bulk_phasing_lines = lambda self, r, ig: (
+            np.zeros(self.size(), bool), [None] * self.size()
+        )
+        try:
+            slow = str(tmp_path / f"ps{flag}.vcf")
+            graph.write_phasing(slow, results, True, "s",
+                                ignore_imputed=flag)
+        finally:
+            ChromosomeGraph._bulk_phasing_lines = orig
+        assert open(fast).read() == open(slow).read()
