@@ -1021,7 +1021,7 @@ class StepwiseUniqueKmerComputer:
         k = self.graph.kmer_size
         length = 2 * k
         nr_variants = self.graph.size()
-        with gzip.open(tsv_filename, "wt") as out:
+        with gzip.open(tsv_filename, "wt", compresslevel=1) as out:
             out.write(
                 "#chromosome\tstart\tend\tunique_kmers\tunique_kmers_overhang\n"
             )
@@ -1248,7 +1248,7 @@ class StepwiseUniqueKmerComputer:
         k = self.graph.kmer_size
         overhang_size = 2 * k
         nr_variants = self.graph.size()
-        with gzip.open(tsv_filename, "wt") as out:
+        with gzip.open(tsv_filename, "wt", compresslevel=1) as out:
             out.write("#chromosome\tstart\tend\tunique_kmers\tunique_kmers_overhang\n")
             for block_start in range(0, nr_variants, self.BLOCK):
                 block = range(
