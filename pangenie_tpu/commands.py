@@ -1100,14 +1100,20 @@ def run_analyze_uk(precomputed_uk: str) -> int:
     (reference src/analyze-uk.cpp: one line per allele,
     chromosome / position / 0-1 kmer bitstring)."""
     unique_kmers_list: UniqueKmersMap = _load(precomputed_uk)
-    for chromosome in sorted(unique_kmers_list.unique_kmers.keys()):
-        for record in unique_kmers_list.unique_kmers[chromosome]:
-            for allele in record.get_allele_ids():
-                bits = "".join(
-                    "1" if record.kmer_on_allele(ki, allele) else "0"
-                    for ki in range(record.size())
-                )
-                print(
-                    f"{chromosome}\t{record.get_variant_position()}\t{bits}"
-                )
+    try:
+        for chromosome in sorted(unique_kmers_list.unique_kmers.keys()):
+            for record in unique_kmers_list.unique_kmers[chromosome]:
+                for allele in record.get_allele_ids():
+                    bits = "".join(
+                        "1" if record.kmer_on_allele(ki, allele) else "0"
+                        for ki in range(record.size())
+                    )
+                    print(
+                        f"{chromosome}\t{record.get_variant_position()}\t{bits}"
+                    )
+    except BrokenPipeError:
+        # downstream pipe (e.g. `| head`) closed: standard unix-tool exit
+        import os as _os
+
+        _os.dup2(_os.open(_os.devnull, _os.O_WRONLY), sys.stdout.fileno())
     return 0
