@@ -334,7 +334,7 @@ def fill_read_kmercounts(
 
     import numpy as np
 
-    from .kmers.mer import encode_kmer_strings
+    from .kmers.mer import decode_kmer, encode_kmer_fields
 
     filename = f"{precomputed_prefix}_{chromosome}_kmers.tsv.gz"
     records = unique_kmers_map.unique_kmers[chromosome]
@@ -342,12 +342,15 @@ def fill_read_kmercounts(
     min_cov = kmer_coverage // 4
     max_cov = kmer_coverage * 4
 
-    # pass 1: parse the TSV, collecting all kmer strings
-    kmer_strs: List[str] = []
-    flank_strs: List[str] = []
+    # pass 1: parse the TSV. The kmer columns stay as comma-joined
+    # FIELDS (length determines the count) — splitting per kmer built
+    # millions of short strings only for the bulk encode to re-join
+    kmer_fields: List[str] = []
+    flank_fields: List[str] = []
     n_kmers: List[int] = []
     n_flanks: List[int] = []
     var_index = 0
+    field_w = kmersize + 1
     with gzip.open(filename, "rt") as f:
         for line in f:
             line = line.rstrip("\n")
@@ -359,20 +362,24 @@ def fill_read_kmercounts(
                 continue
             assert tokens[0] == chromosome
             assert int(tokens[1]) == records[var_index].get_variant_position()
-            kmers = tokens[3].split(",") if tokens[3] != "nan" else []
-            flanking = tokens[4].split(",") if tokens[4] != "nan" else []
-            kmer_strs.extend(kmers)
-            flank_strs.extend(flanking)
-            n_kmers.append(len(kmers))
-            n_flanks.append(len(flanking))
+            t3, t4 = tokens[3], tokens[4]
+            if t3 != "nan":
+                kmer_fields.append(t3)
+                n_kmers.append((len(t3) + 1) // field_w)
+            else:
+                n_kmers.append(0)
+            if t4 != "nan":
+                flank_fields.append(t4)
+                n_flanks.append((len(t4) + 1) // field_w)
+            else:
+                n_flanks.append(0)
             var_index += 1
 
     # pass 2: batched encode + abundance lookups
-    counts = read_kmer_counts.get_abundances(
-        encode_kmer_strings(kmer_strs, kmersize)
-    )
+    encoded_kmers = encode_kmer_fields(kmer_fields, kmersize)
+    counts = read_kmer_counts.get_abundances(encoded_kmers)
     flank_counts = read_kmer_counts.get_abundances(
-        encode_kmer_strings(flank_strs, kmersize)
+        encode_kmer_fields(flank_fields, kmersize)
     )
 
     # zero-probability warnings (rare; reference src/commands.cpp:118-126)
@@ -384,7 +391,8 @@ def fill_read_kmercounts(
         for b in bad.tolist():
             r = records[int(rec_of_kmer[b])]
             _log(
-                f"Warning: only zero probabilities for {kmer_strs[b]} at "
+                "Warning: only zero probabilities for "
+                f"{decode_kmer(int(encoded_kmers[b]), kmersize)} at "
                 f"{chromosome} {r.get_variant_position()}"
             )
 

@@ -49,6 +49,25 @@ def encode_kmer(kmer: str | bytes, k: int | None = None) -> int:
     return value
 
 
+def encode_kmer_fields(fields, k: int) -> np.ndarray:
+    """Bulk-pack comma-joined k-mer FIELDS (the kmer TSV's column
+    format) without splitting out the individual strings — one
+    C-level join/strip instead of millions of per-kmer list entries
+    (reference src/kmerparser.cpp:16-28 tokenizes per kmer)."""
+    if not fields:
+        return np.empty(0, dtype=np.uint64)
+    joined = ",".join(fields).replace(",", "").encode("ascii")
+    if len(joined) % k:
+        raise RuntimeError("encode_kmer_fields: non-uniform k-mer length.")
+    n = len(joined) // k
+    codes = encode_bases(joined)
+    c = np.where(codes > 3, 3, codes).reshape(n, k)
+    out = np.zeros(n, np.uint64)
+    for i in range(k):
+        out = (out << np.uint64(2)) | c[:, i].astype(np.uint64)
+    return out
+
+
 def encode_kmer_strings(kmers, k: int) -> np.ndarray:
     """Bulk-pack equal-length k-mer strings into uint64 (invalid -> 3).
 
