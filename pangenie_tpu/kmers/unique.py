@@ -380,6 +380,200 @@ def bulk_update_paths(
 # selection
 # ---------------------------------------------------------------------------
 
+_ALLELE_BITS = 18  # allele ids < 2^17 (65534 + 2*samples)
+
+
+def _prepare_block(graph, hdr, block_start: int, V: int, stepwise: bool):
+    """Shared per-block header assembly for both selection drivers.
+
+    Builds the block's records (with precomputed covered-allele sets),
+    collects defined allele sequences + flank overhang slices, and
+    returns the bulk cap/key arrays the flat pipeline consumes.
+    """
+    block_end = block_start + V
+    records: List[UniqueKmersRecord] = []
+    seg_seqs: List[bytes] = []
+    seg_var_l: List[int] = []
+    seg_allele_l: List[int] = []
+    flank_seqs: List[bytes] = []
+    chrom_seq = hdr.chrom_seq
+    max_kmers = np.where(
+        hdr.is_biallelic[block_start:block_end], 16, 32
+    ).astype(np.int64)
+    max_total = np.full(V, max(hdr.paths.shape[1], 301), np.int64)
+    starts_l = hdr.starts[block_start:block_end].tolist()
+    ends_l = hdr.ends[block_start:block_end].tolist()
+    left_lo_l = hdr.left_lo[block_start:block_end].tolist()
+    right_hi_l = hdr.right_hi[block_start:block_end].tolist()
+    cov_ptr = hdr.covered_indptr
+    cov_lo, cov_hi = int(cov_ptr[block_start]), int(cov_ptr[block_end])
+    cov_counts = np.diff(cov_ptr[block_start:block_end + 1])
+    covered_keys = hdr.covered_data[cov_lo:cov_hi] + (
+        np.repeat(np.arange(V, dtype=np.int64), cov_counts) << _ALLELE_BITS
+    )
+    covered_flat = hdr.covered_data[cov_lo:cov_hi].tolist()
+    cov_off = (cov_ptr[block_start:block_end + 1] - cov_lo).tolist()
+    paths_block = hdr.paths[block_start:block_end]
+    for j in range(V):
+        variant = graph.get_variant(block_start + j)
+        record = UniqueKmersRecord(
+            starts_l[j], paths_block[j],
+            covered=covered_flat[cov_off[j]:cov_off[j + 1]],
+        )
+        if stepwise:
+            record.set_coverage(0)
+        records.append(record)
+        seqs, undefs = variant.selection_alleles()
+        for a, u in enumerate(undefs):
+            if u:
+                record.set_undefined_allele(a)
+            else:
+                seg_seqs.append(seqs[a])
+                seg_var_l.append(j)
+                seg_allele_l.append(a)
+        flank_seqs.append(chrom_seq[left_lo_l[j]:starts_l[j]])
+        flank_seqs.append(chrom_seq[ends_l[j]:right_hi_l[j]])
+    return (
+        records, seg_seqs,
+        np.asarray(seg_var_l, np.int64), np.asarray(seg_allele_l, np.int64),
+        flank_seqs, max_kmers, max_total, covered_keys,
+    )
+
+
+def _select_block_kmers(
+    seg_seqs, seg_var, seg_allele, covered_keys, max_kmers, max_total,
+    V: int, k: int, genomic_kmers,
+):
+    """Flat unique-kmer selection over one block (both drivers).
+
+    A kmer survives iff unique within its allele, local to exactly one
+    allele of its bubble, genome-wide unique, and its allele is covered
+    by >= 1 path; the round-robin caps (<=16/32 per allele,
+    <= max(P, 301) per bubble) are applied by rank. Returns
+    (fv, fa, fk): variant / allele / kmer arrays grouped by (variant,
+    allele), kmers in pick (== lexicographic) order — exactly
+    src/uniquekmercomputer.cpp:45-92's output order.
+    """
+    from .mer import flat_segment_kmers
+
+    empty = (
+        np.empty(0, np.int64), np.empty(0, np.int64),
+        np.empty(0, np.uint64),
+    )
+    if not len(seg_seqs):
+        return empty
+    kmers, segs = flat_segment_kmers(seg_seqs, k)
+    segs = segs.astype(np.int64)
+    sk, ss = _sort_within_groups(kmers, segs, len(seg_seqs))
+    new = np.ones(len(sk), bool)
+    if len(sk) > 1:
+        new[1:] = (ss[1:] != ss[:-1]) | (sk[1:] != sk[:-1])
+    starts = np.flatnonzero(new)
+    run_len = np.diff(np.append(starts, len(sk)))
+    uniq_rows = starts[run_len == 1]  # unique within allele
+    u_seg = ss[uniq_rows]
+    u_kmer = sk[uniq_rows]
+    u_var = seg_var[u_seg]
+    u_allele = seg_allele[u_seg]
+    # local_count == 1: kmer unique-within exactly one allele. u_var is
+    # non-decreasing, so the (kmer, var) lexsort is a stable
+    # per-variant kmer sort carrying the allele along (2k <= 62 bits
+    # fits int64)
+    vk_key, va_pay = _stable_kv_sort_within_groups(
+        u_kmer.astype(np.int64), u_allele.astype(np.uint64), u_var, V
+    )
+    vv = u_var
+    vk = vk_key.astype(np.uint64)
+    va = va_pay.astype(np.int64)
+    new2 = np.ones(len(vk), bool)
+    if len(vk) > 1:
+        new2[1:] = (vv[1:] != vv[:-1]) | (vk[1:] != vk[:-1])
+    starts2 = np.flatnonzero(new2)
+    rl2 = np.diff(np.append(starts2, len(vk)))
+    rows = starts2[rl2 == 1]
+    cand_var = vv[rows]
+    cand_kmer = vk[rows]
+    cand_allele = va[rows]
+    if not len(cand_var):
+        return empty
+    # allele must be covered by >= 1 path; genome-wide count == 1
+    cand_keys = (cand_var << _ALLELE_BITS) + cand_allele
+    cov_ok = np.isin(cand_keys, covered_keys)
+    gen = genomic_kmers.get_abundances(cand_kmer)
+    m = cov_ok & (gen == 1)
+    v3 = cand_var[m]
+    a3 = cand_allele[m]
+    k3 = cand_kmer[m]
+    # per-allele cap: rank within (var, allele), kmers in lexicographic
+    # order. Input is sorted by (var, kmer), so a stable per-variant
+    # sort by allele yields (var, allele, kmer) order
+    a3, k3 = _stable_kv_sort_within_groups(a3, k3, v3, V)
+    n3 = len(v3)
+    if not n3:
+        return empty
+    new3 = np.ones(n3, bool)
+    new3[1:] = (v3[1:] != v3[:-1]) | (a3[1:] != a3[:-1])
+    grp = np.maximum.accumulate(np.where(new3, np.arange(n3), 0))
+    rank = np.arange(n3) - grp
+    keep3 = rank < max_kmers[v3]
+    v4, a4, k4, r4 = v3[keep3], a3[keep3], k3[keep3], rank[keep3]
+    # round-robin total cap: global pick order is (rank, allele)
+    # within each variant — one stable per-variant sort on
+    # (rank << 18) | allele
+    key4, k5 = _stable_kv_sort_within_groups(
+        (r4 << _ALLELE_BITS) | a4, k4, v4, V
+    )
+    v5 = v4
+    a5 = key4 & ((1 << _ALLELE_BITS) - 1)
+    n5 = len(v5)
+    new5 = np.ones(n5, bool)
+    if n5:
+        new5[1:] = v5[1:] != v5[:-1]
+    var_start = np.maximum.accumulate(np.where(new5, np.arange(n5), 0))
+    pos = np.arange(n5) - var_start
+    keep5 = pos < max_total[v5]
+    v6, a6, k6 = v5[keep5], a5[keep5], k5[keep5]
+    # final layout: grouped by allele, kmers in pick (== lexicographic)
+    # order — within (var, allele) entries already ascend by kmer
+    # (rank order), so one more stable allele sort
+    fa, fk = _stable_kv_sort_within_groups(a6, k6, v6, V)
+    return v6, fa, fk
+
+
+def _unique_flank_kmers(flank_seqs, k: int, genomic_kmers):
+    """Per-flank genome-unique kmers with the <=12-per-side rank cap.
+
+    Returns (segF, kmF, genF, chosen): the per-flank unique kmers in
+    sorted order, their genome-wide counts, and the mask selecting the
+    first <=12 genome-unique kmers of each flank (reference
+    src/uniquekmercomputer.cpp:195-253 /
+    src/stepwiseuniquekmercomputer.cpp:227-265).
+    """
+    from .mer import flat_segment_kmers
+
+    fkm, fsg = flat_segment_kmers(flank_seqs, k)
+    fsg = fsg.astype(np.int64)
+    fkm, fsg = _sort_within_groups(fkm, fsg, len(flank_seqs))
+    newF = np.ones(len(fkm), bool)
+    if len(fkm) > 1:
+        newF[1:] = (fsg[1:] != fsg[:-1]) | (fkm[1:] != fkm[:-1])
+    startsF = np.flatnonzero(newF)
+    rlF = np.diff(np.append(startsF, len(fkm)))
+    rowsF = startsF[rlF == 1]  # unique within flank, kmer-sorted
+    segF = fsg[rowsF]
+    kmF = fkm[rowsF]
+    if not len(rowsF):
+        return segF, kmF, np.empty(0, np.int64), np.empty(0, bool)
+    genF = genomic_kmers.get_abundances(kmF)
+    g1 = genF == 1
+    cs = np.cumsum(g1)
+    seg_new = np.ones(len(segF), bool)
+    seg_new[1:] = segF[1:] != segF[:-1]
+    base = np.maximum.accumulate(np.where(seg_new, cs - g1, 0))
+    r = cs - g1 - base  # rank among genome-unique, per flank
+    chosen = g1 & (r < 12)
+    return segF, kmF, genF, chosen
+
 
 def select_kmers(
     variant,
@@ -577,186 +771,36 @@ class UniqueKmerComputer:
         which is exactly local_count == 1 AND genomic_count == 1 AND
         covered.
         """
-        from .mer import flat_segment_kmers
-
         result: List[UniqueKmersRecord] = []
         k = self.graph.kmer_size
-        length = 2 * k
         nr_variants = self.graph.size()
         min_cov = self.kmer_coverage // 4
         max_cov = self.kmer_coverage * 4
 
         hdr = self.graph.selection_header()
-        chrom_seq = hdr.chrom_seq
-        max_total_chrom = max(hdr.paths.shape[1], 301)
         for block_start in range(0, nr_variants, self.BLOCK):
             block = range(
                 block_start, min(block_start + self.BLOCK, nr_variants)
             )
             V = len(block)
-            block_end = block_start + V
-            records: List[UniqueKmersRecord] = []
-            seg_seqs: List[bytes] = []
-            seg_var_l: List[int] = []
-            seg_allele_l: List[int] = []
-            flank_seqs: List[bytes] = []
-            ALLELE_BITS = 18  # allele ids < 2^17 (65534 + 2*samples)
-            # bulk header arrays for the block (one slice each instead
-            # of a numpy-op pipeline per variant)
-            max_kmers = np.where(
-                hdr.is_biallelic[block_start:block_end], 16, 32
-            ).astype(np.int64)
-            max_total = np.full(V, max_total_chrom, np.int64)
-            starts_l = hdr.starts[block_start:block_end].tolist()
-            ends_l = hdr.ends[block_start:block_end].tolist()
-            left_lo_l = hdr.left_lo[block_start:block_end].tolist()
-            right_hi_l = hdr.right_hi[block_start:block_end].tolist()
-            cov_ptr = hdr.covered_indptr
-            cov_lo, cov_hi = int(cov_ptr[block_start]), int(cov_ptr[block_end])
-            cov_counts = np.diff(cov_ptr[block_start:block_end + 1])
-            covered_keys = hdr.covered_data[cov_lo:cov_hi] + (
-                np.repeat(np.arange(V, dtype=np.int64), cov_counts)
-                << ALLELE_BITS
+            (records, seg_seqs, seg_var, seg_allele, flank_seqs,
+             max_kmers, max_total, covered_keys) = _prepare_block(
+                self.graph, hdr, block_start, V, stepwise=False
             )
-            covered_flat = hdr.covered_data[cov_lo:cov_hi].tolist()
-            cov_off = (cov_ptr[block_start:block_end + 1] - cov_lo).tolist()
-            paths_block = hdr.paths[block_start:block_end]
-            for j, v in enumerate(block):
-                variant = self.graph.get_variant(v)
-                record = UniqueKmersRecord(
-                    starts_l[j], paths_block[j],
-                    covered=covered_flat[cov_off[j]:cov_off[j + 1]],
-                )
-                records.append(record)
-                seqs, undefs = variant.selection_alleles()
-                for a, u in enumerate(undefs):
-                    if u:
-                        record.set_undefined_allele(a)
-                    else:
-                        seg_seqs.append(seqs[a])
-                        seg_var_l.append(j)
-                        seg_allele_l.append(a)
-                flank_seqs.append(chrom_seq[left_lo_l[j]:starts_l[j]])
-                flank_seqs.append(chrom_seq[ends_l[j]:right_hi_l[j]])
 
-            seg_var = np.asarray(seg_var_l, np.int64)
-            seg_allele = np.asarray(seg_allele_l, np.int64)
-
-            # ---- allele k-mers: unique within allele, local to bubble
-            fv = np.empty(0, np.int64)
-            fa = np.empty(0, np.int64)
-            fk = np.empty(0, np.uint64)
-            if len(seg_seqs):
-                kmers, segs = flat_segment_kmers(seg_seqs, k)
-                segs = segs.astype(np.int64)
-                sk, ss = _sort_within_groups(kmers, segs, len(seg_seqs))
-                new = np.ones(len(sk), bool)
-                if len(sk) > 1:
-                    new[1:] = (ss[1:] != ss[:-1]) | (sk[1:] != sk[:-1])
-                starts = np.flatnonzero(new)
-                run_len = np.diff(np.append(starts, len(sk)))
-                uniq_rows = starts[run_len == 1]  # unique within allele
-                u_seg = ss[uniq_rows]
-                u_kmer = sk[uniq_rows]
-                u_var = seg_var[u_seg]
-                u_allele = seg_allele[u_seg]
-                # local_count == 1: kmer unique-within exactly one
-                # allele. u_var is non-decreasing, so the (kmer, var)
-                # lexsort is a stable per-variant kmer sort carrying
-                # the allele along (2k <= 62 bits fits int64)
-                vk_key, va_pay = _stable_kv_sort_within_groups(
-                    u_kmer.astype(np.int64), u_allele.astype(np.uint64),
-                    u_var, V,
-                )
-                vv = u_var
-                vk = vk_key.astype(np.uint64)
-                va = va_pay.astype(np.int64)
-                new2 = np.ones(len(vk), bool)
-                if len(vk) > 1:
-                    new2[1:] = (vv[1:] != vv[:-1]) | (vk[1:] != vk[:-1])
-                starts2 = np.flatnonzero(new2)
-                rl2 = np.diff(np.append(starts2, len(vk)))
-                rows = starts2[rl2 == 1]
-                cand_var = vv[rows]
-                cand_kmer = vk[rows]
-                cand_allele = va[rows]
-                # allele must be covered by >= 1 path
-                if len(cand_var):
-                    cand_keys = (cand_var << ALLELE_BITS) + cand_allele
-                    cov_ok = np.isin(cand_keys, covered_keys)
-                    gen = self.genomic_kmers.get_abundances(cand_kmer)
-                    m = cov_ok & (gen == 1)
-                    v3 = cand_var[m]
-                    a3 = cand_allele[m]
-                    k3 = cand_kmer[m]
-                    # per-allele cap: rank within (var, allele), kmers
-                    # in lexicographic order. Input is sorted by
-                    # (var, kmer), so a stable per-variant sort by
-                    # allele yields (var, allele, kmer) order
-                    a3, k3 = _stable_kv_sort_within_groups(a3, k3, v3, V)
-                    n3 = len(v3)
-                    if n3:
-                        new3 = np.ones(n3, bool)
-                        new3[1:] = (v3[1:] != v3[:-1]) | (a3[1:] != a3[:-1])
-                        grp = np.maximum.accumulate(
-                            np.where(new3, np.arange(n3), 0)
-                        )
-                        rank = np.arange(n3) - grp
-                        keep3 = rank < max_kmers[v3]
-                        v4, a4, k4, r4 = (
-                            v3[keep3], a3[keep3], k3[keep3], rank[keep3]
-                        )
-                        # round-robin total cap: global pick order is
-                        # (rank, allele) within each variant — one
-                        # stable per-variant sort on (rank<<18)|allele
-                        key4, k5 = _stable_kv_sort_within_groups(
-                            (r4 << ALLELE_BITS) | a4, k4, v4, V
-                        )
-                        v5 = v4
-                        a5 = key4 & ((1 << ALLELE_BITS) - 1)
-                        n5 = len(v5)
-                        new5 = np.ones(n5, bool)
-                        if n5:
-                            new5[1:] = v5[1:] != v5[:-1]
-                        var_start = np.maximum.accumulate(
-                            np.where(new5, np.arange(n5), 0)
-                        )
-                        pos = np.arange(n5) - var_start
-                        keep5 = pos < max_total[v5]
-                        v6, a6, k6 = v5[keep5], a5[keep5], k5[keep5]
-                        # final layout: grouped by allele, kmers in
-                        # pick (== lexicographic) order — within
-                        # (var, allele) entries already ascend by kmer
-                        # (rank order), so one more stable allele sort
-                        fa, fk = _stable_kv_sort_within_groups(
-                            a6, k6, v6, V
-                        )
-                        fv = v6
+            fv, fa, fk = _select_block_kmers(
+                seg_seqs, seg_var, seg_allele, covered_keys, max_kmers,
+                max_total, V, k, self.genomic_kmers,
+            )
 
             # ---- local coverage from flanking kmers
             cov_sum = np.zeros(V, np.int64)
             cov_cnt = np.zeros(V, np.int64)
-            fkm, fsg = flat_segment_kmers(flank_seqs, k)
-            fsg = fsg.astype(np.int64)
-            fkm, fsg = _sort_within_groups(fkm, fsg, len(flank_seqs))
-            newF = np.ones(len(fkm), bool)
-            if len(fkm) > 1:
-                newF[1:] = (fsg[1:] != fsg[:-1]) | (fkm[1:] != fkm[:-1])
-            startsF = np.flatnonzero(newF)
-            rlF = np.diff(np.append(startsF, len(fkm)))
-            rowsF = startsF[rlF == 1]  # unique within flank, kmer-sorted
-            if len(rowsF):
-                segF = fsg[rowsF]
-                kmF = fkm[rowsF]
-                genF = self.genomic_kmers.get_abundances(kmF)
+            segF, kmF, _genF, chosen = _unique_flank_kmers(
+                flank_seqs, k, self.genomic_kmers
+            )
+            if len(kmF):
                 readF = self.read_kmers.get_abundances(kmF)
-                g1 = genF == 1
-                cs = np.cumsum(g1)
-                seg_new = np.ones(len(segF), bool)
-                seg_new[1:] = segF[1:] != segF[:-1]
-                base = np.maximum.accumulate(np.where(seg_new, cs - g1, 0))
-                r = cs - g1 - base  # rank among genome-unique, per flank
-                chosen = g1 & (r < 12)
                 contrib = chosen & (readF >= min_cov) & (readF <= max_cov)
                 varF = (segF // 2)[contrib]
                 cov_sum = np.bincount(
@@ -1015,183 +1059,40 @@ class StepwiseUniqueKmerComputer:
         :meth:`compute_unique_kmers_reference` (tested)."""
         import gzip
 
-        from .mer import decode_kmers_bulk, flat_segment_kmers
+        from .mer import decode_kmers_bulk
 
         result: List[UniqueKmersRecord] = []
         k = self.graph.kmer_size
-        length = 2 * k
         nr_variants = self.graph.size()
         with gzip.open(tsv_filename, "wt", compresslevel=1) as out:
             out.write(
                 "#chromosome\tstart\tend\tunique_kmers\tunique_kmers_overhang\n"
             )
             hdr = self.graph.selection_header()
-            chrom_seq = hdr.chrom_seq
             chrom_name = self.graph.chromosome
-            max_total_chrom = max(hdr.paths.shape[1], 301)
             for block_start in range(0, nr_variants, self.BLOCK):
                 block = range(
                     block_start, min(block_start + self.BLOCK, nr_variants)
                 )
                 V = len(block)
                 block_end = block_start + V
-                records: List[UniqueKmersRecord] = []
-                seg_seqs: List[bytes] = []
-                seg_var_l: List[int] = []
-                seg_allele_l: List[int] = []
-                flank_seqs: List[bytes] = []
-                ALLELE_BITS = 18
-                max_kmers = np.where(
-                    hdr.is_biallelic[block_start:block_end], 16, 32
-                ).astype(np.int64)
-                max_total = np.full(V, max_total_chrom, np.int64)
+                (records, seg_seqs, seg_var, seg_allele, flank_seqs,
+                 max_kmers, max_total, covered_keys) = _prepare_block(
+                    self.graph, hdr, block_start, V, stepwise=True
+                )
                 starts_l = hdr.starts[block_start:block_end].tolist()
                 ends_l = hdr.ends[block_start:block_end].tolist()
-                left_lo_l = hdr.left_lo[block_start:block_end].tolist()
-                right_hi_l = hdr.right_hi[block_start:block_end].tolist()
-                cov_ptr = hdr.covered_indptr
-                cov_lo = int(cov_ptr[block_start])
-                cov_hi = int(cov_ptr[block_end])
-                cov_counts = np.diff(cov_ptr[block_start:block_end + 1])
-                covered_keys = hdr.covered_data[cov_lo:cov_hi] + (
-                    np.repeat(np.arange(V, dtype=np.int64), cov_counts)
-                    << ALLELE_BITS
+
+                fv, fa, fk = _select_block_kmers(
+                    seg_seqs, seg_var, seg_allele, covered_keys,
+                    max_kmers, max_total, V, k, self.genomic_kmers,
                 )
-                covered_flat = hdr.covered_data[cov_lo:cov_hi].tolist()
-                cov_off = (
-                    cov_ptr[block_start:block_end + 1] - cov_lo
-                ).tolist()
-                paths_block = hdr.paths[block_start:block_end]
-                for j, v in enumerate(block):
-                    variant = self.graph.get_variant(v)
-                    record = UniqueKmersRecord(
-                        starts_l[j], paths_block[j],
-                        covered=covered_flat[cov_off[j]:cov_off[j + 1]],
-                    )
-                    record.set_coverage(0)
-                    records.append(record)
-                    seqs, undefs = variant.selection_alleles()
-                    for a, u in enumerate(undefs):
-                        if u:
-                            record.set_undefined_allele(a)
-                        else:
-                            seg_seqs.append(seqs[a])
-                            seg_var_l.append(j)
-                            seg_allele_l.append(a)
-                    flank_seqs.append(chrom_seq[left_lo_l[j]:starts_l[j]])
-                    flank_seqs.append(chrom_seq[ends_l[j]:right_hi_l[j]])
-
-                seg_var = np.asarray(seg_var_l, np.int64)
-                seg_allele = np.asarray(seg_allele_l, np.int64)
-
-                fv = np.empty(0, np.int64)
-                fa = np.empty(0, np.int64)
-                fk = np.empty(0, np.uint64)
-                if len(seg_seqs):
-                    kmers, segs = flat_segment_kmers(seg_seqs, k)
-                    segs = segs.astype(np.int64)
-                    sk, ss = _sort_within_groups(
-                        kmers, segs, len(seg_seqs)
-                    )
-                    new = np.ones(len(sk), bool)
-                    if len(sk) > 1:
-                        new[1:] = (ss[1:] != ss[:-1]) | (sk[1:] != sk[:-1])
-                    starts = np.flatnonzero(new)
-                    run_len = np.diff(np.append(starts, len(sk)))
-                    uniq_rows = starts[run_len == 1]
-                    u_seg = ss[uniq_rows]
-                    u_kmer = sk[uniq_rows]
-                    u_var = seg_var[u_seg]
-                    u_allele = seg_allele[u_seg]
-                    vk_key, va_pay = _stable_kv_sort_within_groups(
-                        u_kmer.astype(np.int64),
-                        u_allele.astype(np.uint64), u_var, V,
-                    )
-                    vv = u_var
-                    vk = vk_key.astype(np.uint64)
-                    va = va_pay.astype(np.int64)
-                    new2 = np.ones(len(vk), bool)
-                    if len(vk) > 1:
-                        new2[1:] = (vv[1:] != vv[:-1]) | (vk[1:] != vk[:-1])
-                    starts2 = np.flatnonzero(new2)
-                    rl2 = np.diff(np.append(starts2, len(vk)))
-                    rows = starts2[rl2 == 1]
-                    cand_var = vv[rows]
-                    cand_kmer = vk[rows]
-                    cand_allele = va[rows]
-                    if len(cand_var):
-                        cand_keys = (
-                            cand_var << ALLELE_BITS
-                        ) + cand_allele
-                        cov_ok = np.isin(cand_keys, covered_keys)
-                        gen = self.genomic_kmers.get_abundances(cand_kmer)
-                        m = cov_ok & (gen == 1)
-                        v3 = cand_var[m]
-                        a3 = cand_allele[m]
-                        k3 = cand_kmer[m]
-                        a3, k3 = _stable_kv_sort_within_groups(
-                            a3, k3, v3, V
-                        )
-                        n3 = len(v3)
-                        if n3:
-                            new3 = np.ones(n3, bool)
-                            new3[1:] = (v3[1:] != v3[:-1]) | (
-                                a3[1:] != a3[:-1]
-                            )
-                            grp = np.maximum.accumulate(
-                                np.where(new3, np.arange(n3), 0)
-                            )
-                            rank = np.arange(n3) - grp
-                            keep3 = rank < max_kmers[v3]
-                            v4, a4, k4, r4 = (
-                                v3[keep3], a3[keep3], k3[keep3], rank[keep3]
-                            )
-                            key4, k5 = _stable_kv_sort_within_groups(
-                                (r4 << ALLELE_BITS) | a4, k4, v4, V
-                            )
-                            v5 = v4
-                            a5 = key4 & ((1 << ALLELE_BITS) - 1)
-                            n5 = len(v5)
-                            new5 = np.ones(n5, bool)
-                            if n5:
-                                new5[1:] = v5[1:] != v5[:-1]
-                            var_start = np.maximum.accumulate(
-                                np.where(new5, np.arange(n5), 0)
-                            )
-                            pos = np.arange(n5) - var_start
-                            keep5 = pos < max_total[v5]
-                            v6, a6, k6 = v5[keep5], a5[keep5], k5[keep5]
-                            fa, fk = _stable_kv_sort_within_groups(
-                                a6, k6, v6, V
-                            )
-                            fv = v6
 
                 # flanks: <=12 genome-unique kmers per side
-                fkm, fsg = flat_segment_kmers(flank_seqs, k)
-                fsg = fsg.astype(np.int64)
-                fkm, fsg = _sort_within_groups(
-                    fkm, fsg, len(flank_seqs)
+                segF, kmF, _genF, chosen = _unique_flank_kmers(
+                    flank_seqs, k, self.genomic_kmers
                 )
-                newF = np.ones(len(fkm), bool)
-                if len(fkm) > 1:
-                    newF[1:] = (fsg[1:] != fsg[:-1]) | (fkm[1:] != fkm[:-1])
-                startsF = np.flatnonzero(newF)
-                rlF = np.diff(np.append(startsF, len(fkm)))
-                rowsF = startsF[rlF == 1]
-                segF = fsg[rowsF]
-                kmF = fkm[rowsF]
-                if len(rowsF):
-                    genF = self.genomic_kmers.get_abundances(kmF)
-                    g1 = genF == 1
-                    cs = np.cumsum(g1)
-                    seg_new = np.ones(len(segF), bool)
-                    seg_new[1:] = segF[1:] != segF[:-1]
-                    base = np.maximum.accumulate(
-                        np.where(seg_new, cs - g1, 0)
-                    )
-                    r = cs - g1 - base
-                    chosen = g1 & (r < 12)
-                    segF, kmF = segF[chosen], kmF[chosen]
+                segF, kmF = segF[chosen], kmF[chosen]
 
                 # per-record insert + bulk TSV
                 sel_off = np.searchsorted(fv, np.arange(V + 1)).tolist()
