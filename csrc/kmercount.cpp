@@ -915,3 +915,230 @@ void pg_kc_export(void* handle, const uint64_t* sorted_keys, int64_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native VCF body tokenizer: the happy path of PanelBuilder's per-line
+// loop (reference src/graphbuilder.cpp:55-279) over a raw byte chunk.
+// Python owns the header, error reporting, and graph assembly; this
+// scanner owns tokenization, REF-vs-FASTA validation, ALT filtering,
+// GT parsing, the covered/uncovered allele scan and the cluster-break
+// decision. ANY anomaly (would-be exception, unparseable field) makes
+// the call "bail": Python re-parses the whole file with its exact
+// reference-faithful error semantics. Bail is therefore allowed to be
+// slow but must never be WRONG about the happy path.
+
+extern "C" {
+
+// Returns n_accepted >= 0 on success, -1 on bail (Python must
+// re-parse; *bail_off = byte offset of the offending line), -2 when
+// uncov_flat overflowed uncov_cap (retry with a bigger buffer).
+int64_t pg_parse_vcf_chunk(
+    const uint8_t* buf, int64_t len,
+    int64_t n_samples, int64_t k, int add_reference,
+    int32_t n_chroms,
+    const uint8_t* const* chrom_seqs, const int64_t* chrom_sizes,
+    const uint8_t* names_blob, const int64_t* name_offs,
+    int32_t prev_chrom_in, int64_t prev_end_in,
+    int32_t* out_chrom, int64_t* out_start, int64_t* out_end,
+    int64_t* out_alt_off, int32_t* out_alt_len,
+    int64_t* out_id_off, int32_t* out_id_len,
+    int32_t* out_nundef, uint8_t* out_newcluster,
+    uint16_t* out_paths,
+    int32_t* out_nuncov, int32_t* uncov_flat, int64_t uncov_cap,
+    int32_t* final_chrom, int64_t* final_end, int64_t* bail_off) {
+    uint8_t upper[256];
+    for (int i = 0; i < 256; ++i)
+        upper[i] = (i >= 'a' && i <= 'z') ? (uint8_t)(i - 32) : (uint8_t)i;
+    // per-record covered-allele stamps (allele ids are < 65536)
+    std::vector<int32_t> stamp(65536, -1);
+
+    int32_t prev_chrom = prev_chrom_in;
+    int64_t prev_end = prev_end_in;
+    int64_t n_acc = 0;
+    int64_t uncov_pos = 0;
+    const int64_t n_paths_total = 2 * n_samples + (add_reference ? 1 : 0);
+    if (n_paths_total > 65535) { *bail_off = 0; return -1; }
+
+    int64_t line = 0;
+    while (line < len) {
+        int64_t eol = line;
+        while (eol < len && buf[eol] != '\n') ++eol;
+        const int64_t lbeg = line, lend = eol;  // [lbeg, lend)
+        line = eol + 1;
+        if (lend == lbeg) continue;             // empty line
+        if (buf[lbeg] == '#') { *bail_off = lbeg; return -1; }
+
+        // tokenize fields 0..8 by tab; field 9 = GT region to EOL
+        int64_t f[10];                          // start offsets
+        f[0] = lbeg;
+        int nf = 1;
+        for (int64_t p = lbeg; p < lend && nf < 10; ++p)
+            if (buf[p] == '\t') f[nf++] = p + 1;
+        if (nf < 10) { *bail_off = lbeg; return -1; }
+        const int64_t chrom_b = f[0], chrom_e = f[1] - 1;
+        const int64_t pos_b = f[1], pos_e = f[2] - 1;
+        const int64_t ref_b = f[3], ref_e = f[4] - 1;
+        const int64_t alt_b = f[4], alt_e = f[5] - 1;
+        const int64_t info_b = f[7], info_e = f[8] - 1;
+        const int64_t gt_b = f[9];
+
+        // chromosome lookup (cached: data is chromosome-grouped)
+        int32_t ci = -1;
+        const int64_t clen = chrom_e - chrom_b;
+        if (prev_chrom >= 0 &&
+            name_offs[prev_chrom + 1] - name_offs[prev_chrom] == clen &&
+            memcmp(names_blob + name_offs[prev_chrom], buf + chrom_b,
+                   (size_t)clen) == 0) {
+            ci = prev_chrom;
+        } else {
+            for (int32_t c = 0; c < n_chroms; ++c) {
+                if (name_offs[c + 1] - name_offs[c] == clen &&
+                    memcmp(names_blob + name_offs[c], buf + chrom_b,
+                           (size_t)clen) == 0) { ci = c; break; }
+            }
+            if (ci < 0) { *bail_off = lbeg; return -1; }  // not in FASTA
+        }
+
+        // POS: strictly digits (anything fancier -> Python semantics)
+        if (pos_e <= pos_b) { *bail_off = lbeg; return -1; }
+        int64_t pos = 0;
+        for (int64_t p = pos_b; p < pos_e; ++p) {
+            if (buf[p] < '0' || buf[p] > '9') { *bail_off = lbeg; return -1; }
+            pos = pos * 10 + (buf[p] - '0');
+            if (pos > (int64_t)1 << 60) { *bail_off = lbeg; return -1; }
+        }
+        const int64_t start = pos - 1;
+        // overlap with the previous accepted record => reference error
+        if (ci == prev_chrom && start < prev_end) { *bail_off = lbeg; return -1; }
+
+        // REF must match the FASTA (case-insensitively; FASTA is upper)
+        const int64_t ref_len = ref_e - ref_b;
+        const int64_t end = start + ref_len;
+        if (ref_len <= 0 || start < 0 || end > chrom_sizes[ci]) {
+            *bail_off = lbeg; return -1;
+        }
+        const uint8_t* cseq = chrom_seqs[ci];
+        bool ref_ok = true;
+        for (int64_t p = 0; p < ref_len; ++p)
+            if (upper[buf[ref_b + p]] != cseq[start + p]) { ref_ok = false; break; }
+        if (!ref_ok) { *bail_off = lbeg; return -1; }
+
+        // ALT: ^[CAGTcagt,]+$ else the record is SKIPPED (not an error)
+        bool alt_ok = alt_e > alt_b;
+        int64_t n_alts = 1;
+        for (int64_t p = alt_b; p < alt_e && alt_ok; ++p) {
+            const uint8_t c = buf[p];
+            if (c == ',') { ++n_alts; continue; }
+            const uint8_t u = upper[c];
+            if (u != 'A' && u != 'C' && u != 'G' && u != 'T') alt_ok = false;
+        }
+        if (!alt_ok) continue;
+        const int64_t n_alleles = 1 + n_alts;
+        if (n_alleles > 65535) { *bail_off = lbeg; return -1; }
+
+        // too close to the chromosome ends => skip
+        if (start < 2 * k || end + 2 * k > chrom_sizes[ci]) continue;
+
+        // INFO ID= value region (first occurrence)
+        int64_t id_off = -1, id_len = -1;
+        for (int64_t p = info_b; p < info_e;) {
+            int64_t q = p;
+            while (q < info_e && buf[q] != ';') ++q;
+            if (q - p >= 3 && buf[p] == 'I' && buf[p + 1] == 'D' &&
+                buf[p + 2] == '=') { id_off = p + 3; id_len = q - (p + 3); break; }
+            p = q + 1;
+        }
+
+        // GT region: phased diploid tokens; '.' haplotypes extend the
+        // allele set (same semantics as pg_parse_gt above)
+        uint16_t* prow = out_paths + n_acc * 2 * n_samples;
+        int64_t n_undef = 0, sample = 0;
+        {
+            int64_t i = gt_b;
+            const int64_t glen = lend;
+            while (i <= glen) {
+                int64_t j = i;
+                while (j < glen && buf[j] != '\t') ++j;
+                if (j > i || i < glen) {
+                    if (sample >= n_samples) { *bail_off = lbeg; return -1; }
+                    int64_t bar = -1;
+                    for (int64_t p = i; p < j; ++p) {
+                        const uint8_t c = buf[p];
+                        if (c == '/') { *bail_off = lbeg; return -1; }
+                        if (c == '|') {
+                            if (bar >= 0) { *bail_off = lbeg; return -1; }
+                            bar = p;
+                        }
+                    }
+                    if (bar < 0) { *bail_off = lbeg; return -1; }
+                    const int64_t halves[4] = {i, bar, bar + 1, j};
+                    for (int h = 0; h < 2; ++h) {
+                        const int64_t lo = halves[2 * h], hi = halves[2 * h + 1];
+                        if (hi - lo == 1 && buf[lo] == '.') {
+                            const int64_t v = n_alleles + n_undef;
+                            if (v > 65534) { *bail_off = lbeg; return -1; }
+                            prow[2 * sample + h] = (uint16_t)v;
+                            ++n_undef;
+                            continue;
+                        }
+                        int64_t p = lo;
+                        while (p < hi && (buf[p] == ' ')) ++p;
+                        int64_t sign = 1;
+                        if (p < hi && (buf[p] == '+' || buf[p] == '-')) {
+                            if (buf[p] == '-') sign = -1;
+                            ++p;
+                        }
+                        int64_t v = 0;
+                        while (p < hi && buf[p] >= '0' && buf[p] <= '9') {
+                            v = v * 10 + (buf[p] - '0');
+                            if (v > 1 << 20) { *bail_off = lbeg; return -1; }
+                        ++p;
+                        }
+                        v *= sign;
+                        if (v >= n_alleles + n_undef || v < 0) {
+                            *bail_off = lbeg; return -1;
+                        }
+                        prow[2 * sample + h] = (uint16_t)v;
+                    }
+                    ++sample;
+                }
+                if (j >= glen) break;
+                i = j + 1;
+            }
+            if (sample != n_samples) { *bail_off = lbeg; return -1; }
+        }
+
+        // covered/uncovered scan over the full (incl. undefined) set
+        const int32_t rec = (int32_t)n_acc;
+        if (add_reference) stamp[0] = rec;
+        for (int64_t s = 0; s < 2 * n_samples; ++s) stamp[prow[s]] = rec;
+        int32_t n_uncov = 0;
+        for (int64_t a = 0; a < n_alleles + n_undef; ++a) {
+            if (stamp[a] != rec) {
+                if (uncov_pos >= uncov_cap) return -2;
+                uncov_flat[uncov_pos++] = (int32_t)a;
+                ++n_uncov;
+            }
+        }
+
+        out_chrom[n_acc] = ci;
+        out_start[n_acc] = start;
+        out_end[n_acc] = end;
+        out_alt_off[n_acc] = alt_b;
+        out_alt_len[n_acc] = (int32_t)(alt_e - alt_b);
+        out_id_off[n_acc] = id_off;
+        out_id_len[n_acc] = (int32_t)id_len;
+        out_nundef[n_acc] = (int32_t)n_undef;
+        out_newcluster[n_acc] =
+            (ci != prev_chrom || (start - prev_end) >= k - 1) ? 1 : 0;
+        out_nuncov[n_acc] = n_uncov;
+        ++n_acc;
+        prev_chrom = ci;
+        prev_end = end;
+    }
+    *final_chrom = prev_chrom;
+    *final_end = prev_end;
+    return n_acc;
+}
+
+}  // extern "C"

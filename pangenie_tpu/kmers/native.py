@@ -138,6 +138,24 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         lib.pg_kv_sort_segments.argtypes = [
             i64p, u64p, i64p, ctypes.c_int64, ctypes.c_int,
         ]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        lib.pg_parse_vcf_chunk.restype = ctypes.c_int64
+        lib.pg_parse_vcf_chunk.argtypes = [
+            u8p, ctypes.c_int64,                       # buf, len
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int,  # samples, k, add_ref
+            ctypes.c_int32,                            # n_chroms
+            ctypes.POINTER(ctypes.c_char_p), i64p,     # chrom seqs, sizes
+            u8p, i64p,                                 # names blob, offs
+            ctypes.c_int32, ctypes.c_int64,            # prev chrom, prev end
+            i32p, i64p, i64p,                          # chrom, start, end
+            i64p, i32p,                                # alt off/len
+            i64p, i32p,                                # id off/len
+            i32p, u8p,                                 # nundef, newcluster
+            u16p,                                      # paths
+            i32p, i32p, ctypes.c_int64,                # nuncov, flat, cap
+            i32p, i64p, i64p,                          # final chrom/end, bail
+        ]
         _LIB = lib
         return _LIB
 
@@ -583,6 +601,133 @@ def parse_gt_line(gt_region: bytes, n_base_alleles: int,
     if rc == -3:
         raise RuntimeError("PanelBuilder: invalid genotype in VCF.")
     return None  # -4: let the caller's Python parser decide
+
+
+class VcfChunkResult:
+    """Arrays for the accepted records of one VCF body chunk."""
+
+    __slots__ = (
+        "n", "chrom", "start", "end", "alt_off", "alt_len", "id_off",
+        "id_len", "nundef", "newcluster", "paths", "uncovered",
+        "final_chrom", "final_end",
+    )
+
+    def __init__(self, n, chrom, start, end, alt_off, alt_len, id_off,
+                 id_len, nundef, newcluster, paths, uncovered,
+                 final_chrom, final_end):
+        self.n = n
+        self.chrom = chrom
+        self.start = start
+        self.end = end
+        self.alt_off = alt_off
+        self.alt_len = alt_len
+        self.id_off = id_off
+        self.id_len = id_len
+        self.nundef = nundef
+        self.newcluster = newcluster
+        self.paths = paths
+        self.uncovered = uncovered
+        self.final_chrom = final_chrom
+        self.final_end = final_end
+
+
+def parse_vcf_chunk(
+    chunk: bytes,
+    n_samples: int,
+    k: int,
+    add_reference: bool,
+    chrom_names: List[bytes],
+    chrom_seqs: List[bytes],
+    prev_chrom: int,
+    prev_end: int,
+) -> Optional[VcfChunkResult]:
+    """Tokenize + validate a chunk of VCF data lines natively
+    (csrc pg_parse_vcf_chunk). Returns None when the native engine is
+    unavailable OR the chunk needs the Python reference parser (any
+    anomaly: malformed line, would-be validation error, symbolic edge
+    case the scanner does not model) — the caller must then re-parse
+    with the exact-semantics Python path."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    n_chroms = len(chrom_names)
+    names_blob = b"".join(chrom_names)
+    name_offs = np.zeros(n_chroms + 1, dtype=np.int64)
+    np.cumsum([len(n) for n in chrom_names], out=name_offs[1:])
+    seq_ptrs = (ctypes.c_char_p * n_chroms)(*chrom_seqs)
+    sizes = np.asarray([len(s) for s in chrom_seqs], dtype=np.int64)
+
+    n_lines = chunk.count(b"\n") + 1
+    P2 = 2 * n_samples
+    out_chrom = np.empty(n_lines, np.int32)
+    out_start = np.empty(n_lines, np.int64)
+    out_end = np.empty(n_lines, np.int64)
+    out_alt_off = np.empty(n_lines, np.int64)
+    out_alt_len = np.empty(n_lines, np.int32)
+    out_id_off = np.empty(n_lines, np.int64)
+    out_id_len = np.empty(n_lines, np.int32)
+    out_nundef = np.empty(n_lines, np.int32)
+    out_newcluster = np.empty(n_lines, np.uint8)
+    out_paths = np.empty((n_lines, P2), np.uint16)
+    out_nuncov = np.empty(n_lines, np.int32)
+    final_chrom = np.empty(1, np.int32)
+    final_end = np.empty(1, np.int64)
+    bail = np.empty(1, np.int64)
+
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    uncov_cap = 8 * n_lines + 1024
+    while True:
+        uncov_flat = np.empty(uncov_cap, np.int32)
+        rc = lib.pg_parse_vcf_chunk(
+            ctypes.cast(ctypes.c_char_p(chunk),
+                        ctypes.POINTER(ctypes.c_uint8)),
+            len(chunk), n_samples, k, 1 if add_reference else 0,
+            n_chroms, seq_ptrs,
+            sizes.ctypes.data_as(i64p),
+            ctypes.cast(ctypes.c_char_p(names_blob),
+                        ctypes.POINTER(ctypes.c_uint8)),
+            name_offs.ctypes.data_as(i64p),
+            prev_chrom, prev_end,
+            out_chrom.ctypes.data_as(i32p),
+            out_start.ctypes.data_as(i64p),
+            out_end.ctypes.data_as(i64p),
+            out_alt_off.ctypes.data_as(i64p),
+            out_alt_len.ctypes.data_as(i32p),
+            out_id_off.ctypes.data_as(i64p),
+            out_id_len.ctypes.data_as(i32p),
+            out_nundef.ctypes.data_as(i32p),
+            out_newcluster.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint8)),
+            out_paths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            out_nuncov.ctypes.data_as(i32p),
+            uncov_flat.ctypes.data_as(i32p), uncov_cap,
+            final_chrom.ctypes.data_as(i32p),
+            final_end.ctypes.data_as(i64p),
+            bail.ctypes.data_as(i64p),
+        )
+        if rc == -2:
+            uncov_cap *= 4
+            continue
+        break
+    if rc < 0:
+        return None
+    n = int(rc)
+    # per-record uncovered lists; None when every record's is empty
+    # (the overwhelmingly common case — caller uses fresh [] literals)
+    counts = out_nuncov[:n]
+    uncovered: Optional[List[List[int]]] = None
+    if n and counts.any():
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        flat = uncov_flat[: offs[-1]].tolist()
+        uncovered = [flat[offs[i]:offs[i + 1]] for i in range(n)]
+    return VcfChunkResult(
+        n, out_chrom[:n], out_start[:n], out_end[:n], out_alt_off[:n],
+        out_alt_len[:n], out_id_off[:n], out_id_len[:n], out_nundef[:n],
+        out_newcluster[:n], out_paths[:n], uncovered,
+        int(final_chrom[0]), int(final_end[0]),
+    )
 
 
 def pack_2bit(codes: np.ndarray,

@@ -77,8 +77,221 @@ class PanelBuilder:
     def _construct_graph(
         self, filename: str, fasta_reader: FastaReader, add_reference: bool
     ) -> None:
+        """Stream the VCF into per-chromosome graphs.
+
+        Fast path: the native scanner (csrc pg_parse_vcf_chunk)
+        tokenizes + validates whole byte chunks and this side only
+        assembles VariantBubbles from offset arrays. ANY anomaly makes
+        the native side bail, and the file is re-parsed from scratch by
+        the reference-faithful Python loop so every error message and
+        edge case matches the reference exactly
+        (src/graphbuilder.cpp:55-279).
+        """
         if filename.endswith(".gz"):
             raise RuntimeError("PanelBuilder: uncompressed VCF-file is required.")
+        import os as _os
+
+        from ..kmers import native as _native
+
+        if _native.available() and not _os.environ.get(
+            "PANGENIE_TPU_NO_NATIVE_VCF"
+        ):
+            names0 = fasta_reader.get_names()
+            try:
+                fh = open(filename, "rb")
+            except OSError as e:
+                raise RuntimeError(
+                    "PanelBuilder: input VCF file cannot be opened."
+                ) from e
+            with fh:
+                done = self._construct_graph_native(
+                    fh, fasta_reader, add_reference
+                )
+            if done:
+                return
+            # bail: undo any chromosome extraction (in original FASTA
+            # order) and reset state before the exact-semantics re-parse
+            seqs = fasta_reader._sequences
+            for name, graph in self.graphs.items():
+                seqs[name] = graph.fasta_reader._sequences[name]
+            fasta_reader._sequences = {
+                n: seqs[n] for n in names0 if n in seqs
+            }
+            self.graphs = {}
+            self.chromosomes = []
+            self.nr_variants = 0
+            self.nr_paths = 0
+        self._construct_graph_python(filename, fasta_reader, add_reference)
+
+    def _finalize_graphs(self) -> None:
+        # order chromosomes by descending number of bubbles (reference
+        # processes big chromosomes first for better thread packing)
+        sizes = sorted(
+            ((g.size(), name) for name, g in self.graphs.items()), reverse=True
+        )
+        self.chromosomes = [name for _, name in sizes]
+        self.nr_variants = sum(g.size() for g in self.graphs.values())
+
+    def _validate_header_line(self, line: str, add_reference: bool) -> int:
+        """Validate one '#...' header line, returning the sample count
+        (and setting nr_paths) exactly as the streaming loop does."""
+        tokens = line.split("\t")
+        if len(tokens) < 9:
+            raise RuntimeError("PanelBuilder: not a proper VCF-file.")
+        if len(tokens) < 10:
+            raise RuntimeError("PanelBuilder: no haplotype paths given.")
+        for i in range(9):
+            if tokens[i] != _VCF_FIELDS[i]:
+                raise RuntimeError("PanelBuilder: VCF header line is malformed.")
+        nr_samples = len(tokens) - 9
+        self.nr_paths = nr_samples * 2
+        if add_reference:
+            self.nr_paths += 1
+        return nr_samples
+
+    def _construct_graph_native(
+        self, fh, fasta_reader: FastaReader, add_reference: bool
+    ) -> bool:
+        """Chunked native parse. Returns False to request the Python
+        re-parse (any anomaly), True when the build completed."""
+        from ..kmers import native as _native
+
+        k = self.kmer_size
+        chrom_names = fasta_reader.get_names()
+        chrom_index = {n: i for i, n in enumerate(chrom_names)}
+        chrom_names_b = [n.encode("ascii") for n in chrom_names]
+        # snapshot sequence refs: extract_name pops them from the
+        # reader as graphs take ownership, but the bytes stay alive
+        chrom_seqs = [fasta_reader.get_sequence(n) for n in chrom_names]
+
+        header_seen = False
+        nr_samples = 0
+        prev_chrom = -1
+        prev_end = 0
+        cur_ci = -1
+        cur_name = ""
+        cur_seq = b""
+        current_graph: ChromosomeGraph | None = None
+        cluster: List[VariantBubble] = []
+        cluster_ids: List[List[str]] = []
+        base_paths = [0] if add_reference else []
+        k1 = k - 1
+        trusted = VariantBubble.trusted
+
+        import os as _os
+
+        CHUNK = int(_os.environ.get("PANGENIE_TPU_VCF_CHUNK", 32 << 20))
+        pending = b""
+        eof = False
+        while not eof:
+            block = fh.read(CHUNK)
+            if block:
+                pending += block
+                cut = pending.rfind(b"\n")
+                if cut < 0:
+                    continue
+                chunk, pending = pending[: cut + 1], pending[cut + 1:]
+            else:
+                eof = True
+                chunk, pending = pending, b""
+                if not chunk:
+                    break
+            # peel leading header lines (Python-identical validation)
+            while chunk:
+                if chunk[0] != 0x23:  # '#'
+                    break
+                eol = chunk.find(b"\n")
+                if eol < 0:
+                    line_b, chunk = chunk, b""
+                else:
+                    line_b, chunk = chunk[:eol], chunk[eol + 1:]
+                line = line_b.decode("ascii", "replace").rstrip("\n")
+                if line.startswith("##") or not line:
+                    continue
+                nr_samples = self._validate_header_line(line, add_reference)
+                header_seen = True
+            if not chunk:
+                continue
+            if not header_seen:
+                return False  # data before header: Python semantics
+            res = _native.parse_vcf_chunk(
+                chunk, nr_samples, k, add_reference, chrom_names_b,
+                chrom_seqs, prev_chrom, prev_end,
+            )
+            if res is None:
+                return False
+            prev_chrom = res.final_chrom
+            prev_end = res.final_end
+
+            n = res.n
+            chrom_a = res.chrom.tolist()
+            start_a = res.start.tolist()
+            end_a = res.end.tolist()
+            alt_off_a = res.alt_off.tolist()
+            alt_len_a = res.alt_len.tolist()
+            id_off_a = res.id_off.tolist()
+            id_len_a = res.id_len.tolist()
+            nundef_a = res.nundef.tolist()
+            newcl_a = res.newcluster.tolist()
+            paths_m = res.paths
+            unc = res.uncovered
+            for i in range(n):
+                ci = chrom_a[i]
+                if ci != cur_ci:
+                    if cluster:
+                        current_graph.add_variant_cluster(
+                            cluster, cluster_ids, True
+                        )
+                        cluster = []
+                        cluster_ids = []
+                    if current_graph is not None:
+                        self.graphs[cur_name] = current_graph
+                    cur_ci = ci
+                    cur_name = chrom_names[ci]
+                    current_graph = ChromosomeGraph(
+                        fasta_reader.extract_name(cur_name),
+                        cur_name, k, add_reference,
+                    )
+                    cur_seq = chrom_seqs[ci]
+                elif newcl_a[i] and cluster:
+                    current_graph.add_variant_cluster(
+                        cluster, cluster_ids, True
+                    )
+                    cluster = []
+                    cluster_ids = []
+                s = start_a[i]
+                e = end_a[i]
+                ao = alt_off_a[i]
+                alleles = [cur_seq[s:e]] + chunk[
+                    ao:ao + alt_len_a[i]
+                ].upper().split(b",")
+                nu = nundef_a[i]
+                if nu:
+                    alleles.extend([b"N"] * nu)
+                io_ = id_off_a[i]
+                ids = (
+                    chunk[io_:io_ + id_len_a[i]].decode("ascii").split(",")
+                    if io_ >= 0 else []
+                )
+                cluster.append(trusted(
+                    cur_seq[s - k1:s], cur_seq[e:e + k1], cur_name, s, e,
+                    alleles, base_paths + paths_m[i].tolist(),
+                    [] if unc is None else unc[i],
+                ))
+                cluster_ids.append(ids)
+
+        if not header_seen:
+            raise RuntimeError("PanelBuilder: not a proper VCF-file.")
+        if current_graph is not None:
+            if cluster:
+                current_graph.add_variant_cluster(cluster, cluster_ids, True)
+            self.graphs[cur_name] = current_graph
+        self._finalize_graphs()
+        return True
+
+    def _construct_graph_python(
+        self, filename: str, fasta_reader: FastaReader, add_reference: bool
+    ) -> None:
         try:
             file = open(filename, "r")
         except OSError as e:
@@ -280,14 +493,7 @@ class PanelBuilder:
         if current_graph is not None:
             current_graph.add_variant_cluster(variant_cluster, variant_cluster_ids, True)
             self.graphs[previous_chrom] = current_graph
-
-        # order chromosomes by descending number of bubbles (reference
-        # processes big chromosomes first for better thread packing)
-        sizes = sorted(
-            ((g.size(), name) for name, g in self.graphs.items()), reverse=True
-        )
-        self.chromosomes = [name for _, name in sizes]
-        self.nr_variants = sum(g.size() for g in self.graphs.values())
+        self._finalize_graphs()
 
     # -- k-mer counting corpus -------------------------------------------
 

@@ -233,6 +233,36 @@ class VariantBubble:
         self.uncovered_alleles: List[List[int]] = []
         self._set_values(end_position)
 
+    @classmethod
+    def trusted(
+        cls,
+        left_flank: bytes,
+        right_flank: bytes,
+        chromosome: str,
+        start_position: int,
+        end_position: int,
+        alleles: List[bytes],
+        paths: List[int],
+        uncovered: List[int],
+    ) -> "VariantBubble":
+        """Construct without re-validating: the native VCF scanner
+        (csrc pg_parse_vcf_chunk) has already performed every check in
+        :meth:`_set_values` (flank symmetry, end>start, ref length,
+        path-allele bounds) and computed the uncovered-allele list.
+        ``alleles`` and ``paths`` are owned by the new object."""
+        self = cls.__new__(cls)
+        self.left_flank = left_flank
+        self.right_flank = right_flank
+        self.chromosome = chromosome
+        self.start_position = start_position
+        self.paths = paths
+        self.flanks_added = False
+        self.allele_sequences = [alleles]
+        self.allele_combinations = [(i,) for i in range(len(alleles))]
+        self.inner_flanks = []
+        self.uncovered_alleles = [uncovered]
+        return self
+
     def _set_values(self, end_position: int) -> None:
         covered = set(self.paths)
         uncovered = [
