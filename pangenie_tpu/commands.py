@@ -64,6 +64,11 @@ class Results:
 
     result: Dict[str, List[GenotypeLikelihoods]] = field(default_factory=dict)
     runtimes: Dict[str, float] = field(default_factory=dict)
+    # chromosome -> (mask[M], vals[M, 3]): array-resident likelihoods
+    # for canonical biallelic variants (single-subset normalized runs);
+    # rows masked here hold empty dicts in `result` and the VCF writers
+    # read the arrays directly
+    bulk: Dict[str, tuple] = field(default_factory=dict)
 
 
 def _warm_backend() -> None:
@@ -552,7 +557,7 @@ def _genotyping_block(
             recombrate, False, effective_N, paths,
             normalize=is_genotyping and normalize_in_run,
             dtype=dtype, defer=True, dense=dense_cache[chromosome],
-            prebuilt=cols_cache.get(cols_key),
+            prebuilt=cols_cache.get(cols_key), bulk=True,
         )
         # genotyping + phasing over the same subset share columns
         cols_cache.setdefault(cols_key, hmm.shared_columns())
@@ -580,7 +585,11 @@ def _genotyping_block(
         else:
             stored = results.result[chromosome]
             for i, likelihoods in enumerate(hmm.move_genotyping_result()):
-                stored[i].combine(likelihoods)
+                if likelihoods.likelihoods:
+                    stored[i].combine(likelihoods)
+        bulk = hmm.move_bulk_likelihoods()
+        if bulk is not None:
+            results.bulk[chromosome] = bulk
     # per-chromosome HMM runtimes (reference src/commands.cpp:179-184):
     # each run's host build/scatter time plus its column-weighted share
     # of the batched device dispatches
@@ -597,14 +606,15 @@ def _genotyping_block(
         # the remaining partials' likelihoods are combined in (the
         # combine is a commutative sum, src/genotypingresult.cpp).
         gathered = dist.gather_objects(
-            (results.result, results.runtimes, base_index)
+            (results.result, results.runtimes, base_index, results.bulk)
         )
         results.result = {}
+        results.bulk = {}
         runtimes = dict(results.runtimes)
         if gathered is not None:
             partials = sorted(
                 (bases[chrom], chrom, part_result[chrom])
-                for part_result, _, bases in gathered
+                for part_result, _, bases, _ in gathered
                 for chrom in part_result
             )
             merged: Dict[str, List[GenotypeLikelihoods]] = {}
@@ -614,10 +624,15 @@ def _genotyping_block(
                 else:
                     stored = merged[chrom]
                     for i, likelihoods in enumerate(part):
-                        stored[i].combine(likelihoods)
+                        if likelihoods.likelihoods:
+                            stored[i].combine(likelihoods)
             results.result = merged
+            # bulk channels exist only on single-subset runs, where each
+            # chromosome's genotyping ran in exactly one process
+            for _, _, _, part_bulk in gathered:
+                results.bulk.update(part_bulk)
             runtimes = {}
-            for _, part_runtimes, _ in gathered:
+            for _, part_runtimes, _, _ in gathered:
                 for key, value in part_runtimes.items():
                     runtimes[key] = runtimes.get(key, 0.0) + value
         results.runtimes = runtimes
@@ -664,15 +679,16 @@ def _write_outputs(
         graph: ChromosomeGraph = _load(
             f"{precomputed_prefix}_{chromosome}_Graph.pkl"
         )
+        chrom_bulk = getattr(results, "bulk", {}).get(chromosome)
         if not only_phasing:
             graph.write_genotypes(
                 outname + "_genotyping.vcf", results.result[chromosome],
-                write_header, sample_name, ignore_imputed,
+                write_header, sample_name, ignore_imputed, chrom_bulk,
             )
         if not only_genotyping:
             graph.write_phasing(
                 outname + "_phasing.vcf", results.result[chromosome],
-                write_header, sample_name, ignore_imputed,
+                write_header, sample_name, ignore_imputed, chrom_bulk,
             )
         if output_panel:
             graph.write_sampled_panel(
@@ -1005,15 +1021,16 @@ def run_vcf_command(
         graph: ChromosomeGraph = _load(
             f"{precomputed_prefix}_{chromosome}_Graph.pkl"
         )
+        chrom_bulk = getattr(results, "bulk", {}).get(chromosome)
         if not only_phasing:
             graph.write_genotypes(
                 outname + "_genotyping.vcf", results.result[chromosome],
-                write_header, sample_name, ignore_imputed,
+                write_header, sample_name, ignore_imputed, chrom_bulk,
             )
         if not only_genotyping:
             graph.write_phasing(
                 outname + "_phasing.vcf", results.result[chromosome],
-                write_header, sample_name, ignore_imputed,
+                write_header, sample_name, ignore_imputed, chrom_bulk,
             )
         write_header = False
     return 0

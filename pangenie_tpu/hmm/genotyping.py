@@ -177,6 +177,7 @@ class PairHMM:
         defer: bool = False,
         dense=None,
         prebuilt=None,
+        bulk: bool = False,
     ):
         import time as _time
 
@@ -190,6 +191,12 @@ class PairHMM:
         self.genotyping_result: List[GenotypeLikelihoods] = [
             GenotypeLikelihoods() for _ in records
         ]
+        # (mask[M], vals[M, 3]) array-resident likelihood channel for
+        # canonical biallelic variants, filled by _scatter_genotypes on
+        # normalized runs when opted in (the command drivers do; direct
+        # users keep the reference's dict-per-variant contract)
+        self.bulk_likelihoods = None
+        self._bulk_enabled = bulk
         self._host_cols = None
         if not records:
             # a chromosome with no variant records is a no-op HMM
@@ -319,23 +326,53 @@ class PairHMM:
             is_dom = (vals == vmax[:, None]) & (vals > 0)
             out = np.where(is_dom, dom[:, None], scaled)
             vals = np.where(pos[:, None], out, vals)
-        key_a = columns.local_alleles[:, iu].tolist()  # [N][pairs]
-        key_b = columns.local_alleles[:, ju].tolist()
+        la = columns.local_alleles
+        nr_local = columns.nr_local
+        variant_ids_a = columns.variant_ids[:N]
+        # ARRAY-RESIDENT fast channel: canonical biallelic columns
+        # (local alleles exactly [0, 1]) keep their normalized
+        # {(0,0),(0,1),(1,1)} likelihoods in one [M, 3] longdouble array
+        # instead of per-variant dicts; the VCF writers read it directly
+        # and only slow-path rows ever materialize a dict. Only active
+        # for the single-subset normalized run (cross-subset combine
+        # still sums dicts).
+        if normalized and self._bulk_enabled:
+            elig = (
+                (nr_local[:N] == 2) & (la[:N, 0] == 0) & (la[:N, 1] == 1)
+            )
+            elig_rows = np.nonzero(elig)[0]
+            if elig_rows.size:
+                M = len(self.genotyping_result)
+                mask = np.zeros(M, dtype=bool)
+                v3 = np.zeros((M, 3), dtype=np.longdouble)
+                vids = variant_ids_a[elig_rows]
+                mask[vids] = True
+                # pair columns of (0,0), (0,1), (1,1) in triu order
+                v3[vids] = vals[elig_rows][:, [0, 1, A]]
+                self.bulk_likelihoods = (mask, v3)
+            dict_rows = np.nonzero(~elig)[0]
+        else:
+            dict_rows = np.arange(N)
+        if dict_rows.size == 0:
+            return
+        key_a = la[dict_rows][:, iu].tolist()  # [rows][pairs]
+        key_b = la[dict_rows][:, ju].tolist()
+        dvals = vals[dict_rows]
         # a pair (i <= j) exists iff j < nr_local; precompute the valid
         # pair-column lists per nr_local value (avoids per-row nonzero)
-        nr_local = columns.nr_local
+        d_nr_local = nr_local[dict_rows]
         pair_cols = {
             c: np.nonzero(ju < c)[0].tolist()
-            for c in np.unique(nr_local).tolist()
+            for c in np.unique(d_nr_local).tolist()
         }
-        nr_local_list = nr_local.tolist()
-        variant_ids = columns.variant_ids.tolist()
+        nr_local_list = d_nr_local.tolist()
+        variant_ids = variant_ids_a[dict_rows].tolist()
         results = self.genotyping_result
         # zero-valued entries still create map keys, as the reference's
         # operator[] does — the uniqueness check and
         # contains_no_likelihoods() observe them
-        for n in range(N):
-            ka, kb, vn = key_a[n], key_b[n], vals[n]
+        for n in range(dict_rows.size):
+            ka, kb, vn = key_a[n], key_b[n], dvals[n]
             results[variant_ids[n]].likelihoods = {
                 (ka[c], kb[c]): vn[c] for c in pair_cols[nr_local_list[n]]
             }
@@ -375,6 +412,12 @@ class PairHMM:
         result = self.genotyping_result
         self.genotyping_result = []
         return result
+
+    def move_bulk_likelihoods(self):
+        """(mask, vals) array-resident biallelic likelihoods, or None."""
+        bulk = self.bulk_likelihoods
+        self.bulk_likelihoods = None
+        return bulk
 
     @staticmethod
     def run_deferred(hmms: Sequence["PairHMM"]) -> None:

@@ -30,6 +30,21 @@ def _format_float(value: float, precision: int = 6) -> str:
     return f"{value:.{precision}g}"
 
 
+def _materialize_bulk_rows(genotyping_result, bulk, fast_ok) -> None:
+    """Turn array-resident biallelic likelihoods back into per-variant
+    dicts for rows that take a dict-reading (slow) path. When
+    ``fast_ok`` is given, rows already rendered from the array are
+    skipped; zero keys are kept, matching the scatter's dict shape."""
+    bmask, bvals = bulk
+    rows = bmask if fast_ok is None else (bmask & ~fast_ok)
+    idx = np.nonzero(rows)[0]
+    for i in idx.tolist():
+        v = bvals[i]
+        genotyping_result[i].likelihoods = {
+            (0, 0): v[0], (0, 1): v[1], (1, 1): v[2]
+        }
+
+
 def construct_index(alleles: Sequence, reference_added: bool) -> List[int]:
     """Stable argsort of alleles (optionally skipping a leading REF).
 
@@ -280,10 +295,17 @@ class ChromosomeGraph:
 
     _KEYS3 = frozenset(((0, 0), (0, 1), (1, 1)))
 
+    def materialize_bulk(self, genotyping_result, bulk) -> None:
+        """Populate every bulk-masked row's likelihood dict from the
+        array channel (for consumers that need the dict form)."""
+        if bulk is not None:
+            _materialize_bulk_rows(genotyping_result, bulk, None)
+
     def _bulk_genotype_lines(
         self,
         genotyping_result: List[GenotypeLikelihoods],
         ignore_imputed: bool,
+        bulk=None,
     ):
         """Vectorized GT:GQ:GL rendering for plain biallelic records.
 
@@ -316,6 +338,15 @@ class ChromosomeGraph:
         keys3 = self._KEYS3
         from ..io.sequence import contains_undefined
 
+        # array-resident channel: masked rows read their normalized
+        # {(0,0),(0,1),(1,1)} values straight from the [M, 3] array
+        if bulk is not None:
+            bmask, bvals = bulk
+            np.copyto(vals, bvals, where=bmask[:, None])
+            bmask_l = bmask.tolist()
+        else:
+            bmask_l = None
+
         for i, variant in enumerate(self.variants):
             if len(variant.allele_sequences) != 1:
                 continue  # merged bubble: slow path
@@ -325,15 +356,18 @@ class ChromosomeGraph:
             if contains_undefined(seqs0[0]) or contains_undefined(seqs0[1]):
                 continue
             gl = genotyping_result[i]
-            lh = gl.likelihoods
-            if lh:
-                if len(lh) > 3 or not keys3.issuperset(lh):
-                    continue
-                vals[i, 0] = lh.get((0, 0), 0.0)
-                vals[i, 1] = lh.get((0, 1), 0.0)
-                vals[i, 2] = lh.get((1, 1), 0.0)
+            if bmask_l is not None and bmask_l[i]:
+                pass  # vals row already copied from the bulk array
             else:
-                vals[i, 0] = 1.0  # only-reference column: 0/0 with P=1
+                lh = gl.likelihoods
+                if lh:
+                    if len(lh) > 3 or not keys3.issuperset(lh):
+                        continue
+                    vals[i, 0] = lh.get((0, 0), 0.0)
+                    vals[i, 1] = lh.get((0, 1), 0.0)
+                    vals[i, 2] = lh.get((1, 1), 0.0)
+                else:
+                    vals[i, 0] = 1.0  # only-reference column: 0/0, P=1
             uk[i] = gl.nr_unique_kmers
             kc[i] = gl.coverage
             refs[i] = seqs0[0]
@@ -410,6 +444,7 @@ class ChromosomeGraph:
         write_header: bool,
         sample: str,
         ignore_imputed: bool = False,
+        bulk=None,
     ) -> None:
         """Emit the GT:GQ:GL:KC genotyping VCF.
 
@@ -424,8 +459,10 @@ class ChromosomeGraph:
                 "ChromosomeGraph.write_genotypes: number of variants and genotypes differ."
             )
         fast_ok, fast_lines = self._bulk_genotype_lines(
-            genotyping_result, ignore_imputed
+            genotyping_result, ignore_imputed, bulk
         )
+        if bulk is not None:
+            _materialize_bulk_rows(genotyping_result, bulk, fast_ok)
         mode = "w" if write_header else "a"
         with open(filename, mode) as out:
             if write_header:
@@ -586,6 +623,7 @@ class ChromosomeGraph:
         write_header: bool,
         sample: str,
         ignore_imputed: bool = False,
+        bulk=None,
     ) -> None:
         """Emit the phased GT:KC VCF. (reference src/graph.cpp:280-415)"""
         if self.variants_deleted:
@@ -599,6 +637,10 @@ class ChromosomeGraph:
         fast_ok, fast_lines = self._bulk_phasing_lines(
             genotyping_result, ignore_imputed
         )
+        if bulk is not None:
+            # slow-path rows project likelihood dicts when alleles are
+            # missing from the panel; give them the dict form back
+            _materialize_bulk_rows(genotyping_result, bulk, fast_ok)
         mode = "w" if write_header else "a"
         with open(filename, mode) as out:
             if write_header:

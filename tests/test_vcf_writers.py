@@ -157,7 +157,7 @@ def test_bulk_fast_path_matches_per_record_path(tmp_path):
         fast = str(tmp_path / f"fast{flag}.vcf")
         graph.write_genotypes(fast, results, True, "s", ignore_imputed=flag)
         orig = ChromosomeGraph._bulk_genotype_lines
-        ChromosomeGraph._bulk_genotype_lines = lambda self, r, ig: (
+        ChromosomeGraph._bulk_genotype_lines = lambda self, r, ig, bulk=None: (
             np.zeros(self.size(), bool), [None] * self.size()
         )
         try:
