@@ -1088,14 +1088,34 @@ def run_sampling(
         regularization,
     )
 
-    for chromosome in chromosomes:
-        # sampling always writes the paths TSV (src/commands.cpp:1285)
+    # read-count fill across chromosomes on the thread pool, then ONE
+    # batched device sampling pass (same structure as the genotype
+    # command; the old per-chromosome HaplotypeSampler loop ran the
+    # greedy scans sequentially and ignored nr_core_threads)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .hmm.sampling import sample_panels_batched
+
+    def _fill(chromosome):
         fill_read_kmercounts(
             chromosome, unique_kmers_list, read_kmer_counts, probabilities,
-            precomputed_prefix, kmer_abundance_peak, panel_size, recombrate,
+            precomputed_prefix, kmer_abundance_peak, 0, recombrate,
             sampling_effective_N, unique_kmers_list.add_reference,
-            f"{outname}_paths_{chromosome}.tsv", allele_penalty,
+            "", allele_penalty,
         )
+
+    workers = max(1, min(nr_core_threads, len(chromosomes)))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        list(pool.map(_fill, chromosomes))
+    # sampling always writes the paths TSVs (src/commands.cpp:1285)
+    sample_panels_batched(
+        {c: unique_kmers_list.unique_kmers[c] for c in chromosomes},
+        panel_size, recombrate, sampling_effective_N,
+        unique_kmers_list.add_reference,
+        {c: f"{outname}_paths_{c}.tsv" for c in chromosomes},
+        allele_penalty,
+    )
+    for chromosome in chromosomes:
         for record in unique_kmers_list.unique_kmers[chromosome]:
             _, allele_ids = record.get_path_ids()
             chrom_to_sampled.setdefault(chromosome, []).append(

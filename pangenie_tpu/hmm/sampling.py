@@ -236,6 +236,340 @@ def _viterbi_iteration(path_cost, mask, switch_cost):
     return path, best_score
 
 
+# ---------------------------------------------------------------------------
+# Blocked exact min-plus Viterbi
+#
+# The column scan above pays ~7-10 us of tile-padded latency PER COLUMN
+# (unrolling does not help — the cost is the per-step [C, P] tensors,
+# not loop overhead). This formulation cuts the serial depth from N to
+# ~L + 3*(N/L) by splitting the chromosome into K = N/L segments:
+#
+#  * All x-independent segment tables are computed IN PARALLEL:
+#    per-path prefix sums Cpre, the [L, L] matrix
+#    V[u, t] = min_i (Cpre[t, i] - Cpre[u-1, i]) (cheapest single-run
+#    bridge from a switch at u to column t), and the tropical closure
+#    Dstar of the within-segment switch graph (which resolves
+#    multi-switch paths without a sequential scalar chain).
+#  * One K-step combine scan propagates the entry vector x through the
+#    segments with dense [L, P] algebra (last-switch decomposition):
+#        y_i = min(x_i + S_i, min_u [ m_{u-1} + w_u + Ssuf_{u,i} ])
+#    where the within-segment minima chain m is r (x-dependent base)
+#    pushed through the precomputed closure.
+#  * A vmapped second pass recomputes each segment's forward DP from
+#    its now-known entry vector with the ORIGINAL uint32 column logic
+#    (min1/min2 ids, strict-< stay rule), so backtraces and therefore
+#    tie-breaking are bit-identical to the column scan; a K-step
+#    pointer scan composes per-segment route maps and a final vmapped
+#    chase emits the path.
+#
+# Value-exactness notes (vs the reference recurrence,
+# src/haplotypesampler.cpp:259-283):
+#  * dropping the j != i switch constraint cannot change any DP VALUE:
+#    when argmin == i the unconstrained switch term is y_i + sw >= y_i
+#    (stay), and the constrained one is min2 + sw >= min1 = y_i — both
+#    collapse onto y_i. Only backtrace CHOICES differ, and those come
+#    from the exact second pass.
+#  * masking is INF arithmetic: masked cells cost INF64 = 2^40 in the
+#    int64 prefix sums, so a run crossing a masked cell is INF while
+#    prefix DIFFERENCES spanning only live cells cancel the INF
+#    exactly. Within-segment tables clamp to INF32 = 2^29; a fake
+#    (clamped-INF) term can only win when no live path exists at all,
+#    in which case the original value is UINT_MAX anyway — entry
+#    vectors and the final column re-apply their masks before use.
+#  * saturating uint32 semantics: legitimate scores stay far below
+#    2^32 (<= N * ~110 phred), so clamping the int64 values at
+#    UINT32_MAX reproduces the reference's saturation bit-for-bit.
+
+_INF64 = np.int64(1) << 40
+_INF32 = np.int64(1) << 29
+
+
+def _closure_minplus(delta):
+    """Tropical (min, +) closure of a strictly-upper-triangular [L, L]
+    cost matrix via log2(L) squarings of (I ⊕ Δ)."""
+    L = delta.shape[-1]
+    inf = jnp.asarray(_INF32, dtype=delta.dtype)
+    ar = jnp.arange(L)
+    eye = jnp.where(ar[:, None] == ar[None, :], 0, inf).astype(delta.dtype)
+    a = jnp.minimum(delta, eye)
+    for _ in range(max(1, (L - 1).bit_length())):
+        a = jnp.min(a[..., :, :, None] + a[..., None, :, :], axis=-2)
+        a = jnp.minimum(a, inf)
+    return a
+
+
+def _blocked_viterbi(path_cost, mask, switch, L: int):
+    """Exact blocked batched single-path Viterbi.
+
+    Args:
+      path_cost: [C, N, P] uint32 emission costs (values < 2^29).
+      mask: [C, N, P] bool, True where the path is available.
+      switch: [C, N] uint32 (entry 0 unused).
+      L: segment length; N must be a multiple of L.
+
+    Returns (paths [C, N] int32, best_scores [C] uint32), bit-identical
+    to vmap(_viterbi_iteration).
+    """
+    C, N, P = path_cost.shape
+    assert N % L == 0 and L <= 64
+    K = N // L
+    i32 = jnp.int32
+    INF32 = i32(_INF32)
+
+    # K-leading layout [K, C, L, P]: one transpose up front, none in
+    # the per-segment pipeline (scan/vmap both want K leading)
+    cost_seg = jnp.moveaxis(path_cost.reshape(C, K, L, P), 1, 0)
+    mask_seg = jnp.moveaxis(mask.reshape(C, K, L, P), 1, 0)
+    sw_seg = jnp.moveaxis(
+        switch.at[:, 0].set(0).reshape(C, K, L), 1, 0
+    ).astype(i32)                                        # [K,C,L]
+
+    # (real, badness) split: real costs and masked-cell counts cumsum
+    # separately, so prefix DIFFERENCES stay exact in int32 (a run is
+    # dead iff its badness difference is positive) without int64 INF
+    # arithmetic. Requires unmasked costs < 2^24 (phred costs are
+    # <= ~60) and L <= 64 (badness fits int8).
+    creal = jnp.where(mask_seg, cost_seg, 0).astype(i32)
+    cr = jnp.cumsum(creal, axis=2)                       # [K,C,L,P] i32
+    cb = jnp.cumsum((~mask_seg).astype(jnp.int8), axis=2)
+    crs = jnp.concatenate(                               # value at u-1
+        [jnp.zeros((K, C, 1, P), i32), cr[:, :, : L - 1, :]], axis=2
+    )
+    cbs = jnp.concatenate(
+        [jnp.zeros((K, C, 1, P), jnp.int8), cb[:, :, : L - 1, :]], axis=2
+    )
+
+    cpre32 = jnp.where(cb > 0, INF32, cr)                # [K,C,L,P]
+    s_real = cr[:, :, L - 1, :]                          # [K,C,P]
+    s_bad = cb[:, :, L - 1, :]
+    s32 = jnp.where(s_bad > 0, INF32, s_real)            # [K,C,P]
+
+    # V[u, t] = min_i (run cost u..t), INF32 when every path's run is
+    # dead; u processed in blocks so the prefix tables are re-read
+    # L/G times instead of L times
+    G = min(8, L)
+    assert L % G == 0
+
+    def vblock(b, acc):
+        rows_r = jax.lax.dynamic_slice_in_dim(crs, b * G, G, axis=2)
+        rows_b = jax.lax.dynamic_slice_in_dim(cbs, b * G, G, axis=2)
+        dr = cr[:, :, None, :, :] - rows_r[:, :, :, None, :]
+        db = cb[:, :, None, :, :] - rows_b[:, :, :, None, :]
+        val = jnp.min(jnp.where(db > 0, INF32, dr), axis=4)  # [K,C,G,L]
+        return jax.lax.dynamic_update_slice_in_dim(acc, val, b * G, axis=2)
+
+    v = jax.lax.fori_loop(
+        0, L // G, vblock, jnp.full((K, C, L, L), INF32, i32)
+    )
+
+    gamma0 = jnp.minimum(
+        sw_seg[:, :, 0, None] + v[:, :, 0, :], INF32
+    )                                                    # [K,C,L]
+    ar = jnp.arange(L)
+    if L > 1:
+        gamma_rest = jnp.minimum(
+            sw_seg[:, :, 1:, None] + v[:, :, 1:, :], INF32
+        )                                                # [K,C,L-1,L]
+        delta = jnp.concatenate(
+            [gamma_rest, jnp.full((K, C, 1, L), INF32, i32)], axis=2
+        )
+        delta = jnp.where(
+            ar[None, None, :, None] < ar[None, None, None, :], delta, INF32
+        )
+        dstar = _closure_minplus(delta)
+    else:
+        dstar = jnp.zeros((K, C, 1, 1), i32)
+
+    # E[u, i] = w_u + suffix run cost u..L-1 of path i (INF32 if dead).
+    # Within-segment tables clamp to INF32: segment-relative costs are
+    # tiny (<= L * ~110 phred) next to 2^29, so a clamped-INF term can
+    # never beat a live alternative (entry-vector spread within one
+    # segment is bounded by segment costs).
+    er = s_real[:, :, None, :] - crs                     # [K,C,L,P]
+    eb = s_bad[:, :, None, :] - cbs
+    e32 = jnp.minimum(
+        sw_seg[:, :, :, None] + jnp.where(eb > 0, INF32, er), INF32
+    )
+
+    # ---- sequential combine over segments (the only K-depth pass) ----
+    # All int32: TPU emulates int64 and an int64 body measured ~40x
+    # slower. Live global scores must stay below INF32 = 2^29 (the
+    # caller guards N * ~130 phred/column < 2^29); dead-path values are
+    # clamped into [2^29, 2^30], so live-vs-dead ordering is exact and
+    # truly-dead entry values are overwritten by the mask/poison
+    # overrides below anyway.
+    INF2 = i32(1 << 30)
+    # mm_u = m_{u-1}: shift dstar's t-axis once here instead of a
+    # concatenate inside the scan body
+    dstar_shift = jnp.concatenate(
+        [jnp.full((K, C, L, 1), INF32, i32), dstar[:, :, :, : L - 1]],
+        axis=3,
+    )
+    u0 = jnp.arange(L) == 0
+
+    def combine(x, seg):
+        cpre_k, dsh_k, e_k, s_k, g0_k = seg
+        m_x = jnp.min(x, axis=1)                          # [C]
+        base = jnp.min(x[:, None, :] + cpre_k, axis=2)    # [C,L]
+        r = jnp.minimum(jnp.minimum(base, m_x[:, None] + g0_k), INF2)
+        mm = jnp.minimum(
+            jnp.min(r[:, :, None] + dsh_k, axis=1),
+            jnp.where(u0[None, :], m_x[:, None], INF2),
+        )
+        mm = jnp.minimum(mm, INF2)
+        y = jnp.minimum(x + s_k, jnp.min(mm[:, :, None] + e_k, axis=1))
+        y = jnp.minimum(y, INF2)
+        return y, x                                       # emit ENTRY
+
+    x0 = jnp.zeros((C, P), i32)
+    x_final, entries = jax.lax.scan(
+        combine, x0, (cpre32, dstar_shift, e32, s32, gamma0),
+    )                                                    # entries [K,C,P]
+
+    # poison semantics: the original scan NEVER recovers after a fully
+    # masked column (helper stays UINT_MAX forever); the clamped-INF
+    # algebra would "recover", so override every value at or after such
+    # a column. Interior poisoning within a segment is reproduced by
+    # the exact second pass once its entry vector is corrected.
+    alive = mask.any(axis=2)                             # [C,N]
+    poisoned = jnp.cumsum((~alive).astype(jnp.int32), axis=1) > 0
+
+    umax32 = jnp.uint32(0xFFFFFFFF)
+    final_u32 = jnp.where(
+        mask[:, N - 1, :] & ~poisoned[:, N - 1, None],
+        x_final.astype(jnp.uint32), umax32
+    )
+    best_index = jnp.argmin(final_u32, axis=1).astype(jnp.int32)  # [C]
+    best_score = jnp.min(final_u32, axis=1)
+
+    # entry vectors in exact uint32 form (masked/poisoned -> UINT_MAX)
+    entry_mask = jnp.concatenate(
+        [jnp.zeros((1, C, P), bool), mask_seg[: K - 1, :, L - 1, :]],
+        axis=0,
+    )                                                    # [K,C,P]
+    entry_poison = jnp.concatenate(
+        [jnp.zeros((1, C), bool),
+         poisoned.reshape(C, K, L)[:, : K - 1, L - 1].swapaxes(0, 1)],
+        axis=0,
+    )                                                    # [K,C]
+    entries_u32 = jnp.where(
+        entry_mask & ~entry_poison[:, :, None],
+        entries.astype(jnp.uint32), umax32
+    )
+
+    # ---- pass 2: exact per-segment forward with original semantics ----
+    # All K segments advance their column-t step TOGETHER: one scan
+    # over t with [K,C,P] state (a vmapped per-segment scan would slice
+    # the column axis stridedly — measured ~20x slower). The body
+    # mirrors _viterbi_iteration's fwd exactly (min1/min2 first-
+    # occurrence ids, strict-< stay rule), so backtraces are
+    # bit-identical to the reference scan.
+    umax = jnp.uint32(0xFFFFFFFF)
+    p_iota = jnp.arange(P)
+    p_row = jnp.arange(P)[None, None, :]
+    cost_cols = jnp.moveaxis(cost_seg, 2, 0)             # [L,K,C,P]
+    mask_cols = jnp.moveaxis(mask_seg, 2, 0)
+    sw_cols = jnp.moveaxis(sw_seg.astype(jnp.uint32), 2, 0)  # [L,K,C]
+    isf = jnp.concatenate(
+        [jnp.ones((1, C), bool), jnp.zeros((K - 1, C), bool)], axis=0
+    )
+
+    def fwd(carry, inputs):
+        prev, prev_mask, is_first = carry                 # [K,C,P]x2,[K,C]
+        cost_n, mask_n, sw = inputs
+        masked_prev = jnp.where(prev_mask, prev, umax)
+        first_val = jnp.min(masked_prev, axis=2)          # [K,C]
+        first_id = jnp.argmin(masked_prev, axis=2)
+        rest = jnp.where(p_row == first_id[:, :, None], umax, masked_prev)
+        second_val = jnp.min(rest, axis=2)
+        second_id = jnp.argmin(rest, axis=2)
+        is_first_col = p_row == first_id[:, :, None]
+        helper_val = jnp.where(
+            is_first_col, second_val[:, :, None], first_val[:, :, None]
+        )
+        helper_id = jnp.where(
+            is_first_col, second_id[:, :, None], first_id[:, :, None]
+        )
+        prev_cell = _sat_add(helper_val, sw[:, :, None])
+        backtrace = helper_id.astype(jnp.int32)
+        take_stay = prev_mask & (prev < prev_cell)
+        prev_cell = jnp.where(take_stay, prev, prev_cell)
+        backtrace = jnp.where(take_stay, p_row.astype(jnp.int32), backtrace)
+        prev_cell = jnp.where(is_first[:, :, None], jnp.uint32(0), prev_cell)
+        backtrace = jnp.where(is_first[:, :, None], jnp.int32(0), backtrace)
+        cur = _sat_add(prev_cell, cost_n)
+        cur = jnp.where(mask_n, cur, umax)
+        return (cur, mask_n, jnp.zeros((K, C), bool)), backtrace
+
+    (_, _, _), bts = jax.lax.scan(
+        fwd, (entries_u32, entry_mask, isf),
+        (cost_cols, mask_cols, sw_cols),
+    )                                                    # bts [L,K,C,P]
+
+    # backward chase: ONE reverse scan over segments, each step chasing
+    # its L columns with [C]-wide gathers (a per-exit-state route-map
+    # composition costs N*P lane gathers — measured ~0.3 s — while the
+    # single traced path only needs N*C)
+    bts_k = jnp.moveaxis(bts, 0, 1)                      # [K,L,C,P]
+
+    def chase_seg(sigma, bt_seg):                        # bt_seg [L,C,P]
+        # statically unrolled over the segment: 32 dependent tiny
+        # gathers schedule tighter than a fori_loop's bookkeeping
+        outs = []
+        for col in range(L - 1, -1, -1):
+            outs.append(sigma)
+            sigma = jnp.take_along_axis(
+                bt_seg[col], sigma[:, None], axis=1
+            )[:, 0]
+        return sigma, jnp.stack(outs[::-1])              # [L,C]
+
+    _, path_cols = jax.lax.scan(
+        chase_seg, best_index, bts_k, reverse=True
+    )                                                    # [K,L,C]
+    paths = jnp.transpose(path_cols, (2, 0, 1)).reshape(C, N)
+    return paths, best_score
+
+
+_BLOCK_L = 32
+_blocked_viterbi_jit = jax.jit(_blocked_viterbi, static_argnames=("L",))
+
+
+def _blocked_eligible(n_columns: int) -> bool:
+    """Blocked formulation pays off once the column scan's serial
+    latency dominates; below ~4k columns the plain scan is fine. The
+    upper bound keeps live int32 scores (~130 phred/column worst case)
+    below the INF32 = 2^29 dead-path marker."""
+    import os
+
+    return (
+        4096 <= n_columns <= 4_000_000
+        and not os.environ.get("PANGENIE_TPU_NO_BLOCKED_SAMPLING")
+    )
+
+
+def _viterbi_iteration_auto(path_cost, mask, switch):
+    """Single-instance dispatch: the blocked formulation (padded to a
+    multiple of _BLOCK_L with neutral cost-0/switch-1 columns, which
+    preserve the final argmin, score and backtraces — see
+    sample_panels_batched) when the chromosome is long enough."""
+    N, P = path_cost.shape
+    if _blocked_eligible(N):
+        pad = (-N) % _BLOCK_L
+        if pad:
+            path_cost = jnp.concatenate(
+                [path_cost, jnp.zeros((pad, P), path_cost.dtype)]
+            )
+            mask = jnp.concatenate([mask, jnp.ones((pad, P), bool)])
+            switch = jnp.concatenate(
+                [switch, jnp.ones((pad,), switch.dtype)]
+            )
+        paths, score = _blocked_viterbi_jit(
+            path_cost[None], mask[None], switch[None], L=_BLOCK_L
+        )
+        return paths[0, :N], score[0]
+    return _viterbi_iteration(path_cost, mask, switch)
+
+
 @jax.jit
 def _segment_forward(carry, path_cost, mask, switch_cost):
     """Run the forward recurrence over one column segment, returning
@@ -424,7 +758,9 @@ class HaplotypeSampler:
                 path_cost = jnp.take_along_axis(
                     jnp.asarray(costs), alleles_j, axis=1
                 )
-                path, score = _viterbi_iteration(path_cost, mask, switch_j)
+                path, score = _viterbi_iteration_auto(
+                    path_cost, mask, switch_j
+                )
             path = np.asarray(path)
             if best_scores is not None:
                 best_scores.append(int(score))
@@ -516,32 +852,41 @@ def _sample_group(costs, alleles, switch, valid, size: int,
     C, N, P = alleles.shape
     p_iota = jnp.arange(P)
 
+    blocked = _blocked_eligible(N) and N % _BLOCK_L == 0
+
     def iteration(carry, _):
-        costs, used = carry
-        path_cost = jnp.take_along_axis(costs, alleles, axis=2)
-        paths, _scores = jax.vmap(_viterbi_iteration)(
-            path_cost, ~used, switch
-        )
+        path_cost, used = carry
+        if blocked:
+            paths, _scores = _blocked_viterbi(
+                path_cost, ~used, switch, _BLOCK_L
+            )
+        else:
+            paths, _scores = jax.vmap(_viterbi_iteration)(
+                path_cost, ~used, switch
+            )
         hit = (p_iota[None, None, :] == paths[:, :, None]) & valid[
             :, :, None
         ]
         used = used | hit
+        # penalize the chosen allele IN PLACE on the path-cost tensor:
+        # every path carrying that allele shares the same cost cell, so
+        # a broadcast where over [C, N, P] replaces the per-iteration
+        # [C, N, P] gather from the [C, N, A] cost table (identical
+        # result, far less memory traffic)
         chosen = jnp.take_along_axis(
             alleles, paths[:, :, None], axis=2
         )[:, :, 0]
-        sel = (
-            jnp.arange(costs.shape[2])[None, None, :]
-            == chosen[:, :, None]
-        ) & valid[:, :, None]
+        sel = (alleles == chosen[:, :, None]) & valid[:, :, None]
         pen = jnp.minimum(
-            costs + jnp.uint32(allele_penalty), jnp.uint32(25)
+            path_cost + jnp.uint32(allele_penalty), jnp.uint32(25)
         )
-        costs = jnp.where(sel, pen, costs)
-        return (costs, used), paths
+        path_cost = jnp.where(sel, pen, path_cost)
+        return (path_cost, used), paths
 
     used0 = jnp.zeros((C, N, P), bool)
+    path_cost0 = jnp.take_along_axis(costs, alleles, axis=2)
     (_, _), all_paths = jax.lax.scan(
-        iteration, (costs, used0), None, length=size
+        iteration, (path_cost0, used0), None, length=size
     )
     return all_paths
 
@@ -658,6 +1003,10 @@ def sample_panels_batched(
     for group in groups:
         C = len(group)
         N_max = max(s.N for s in group)
+        # round up to the blocked formulation's segment multiple (the
+        # extra columns are the same neutral padding described below)
+        if _blocked_eligible(N_max):
+            N_max = -(-N_max // _BLOCK_L) * _BLOCK_L
         P = group[0].P
         A = max(s.costs.shape[1] for s in group)
         # padding columns: emission cost 0 on every path, all paths
