@@ -153,6 +153,18 @@ def _use_device_counter(readfile: str = "", n_keys: int = 0) -> bool:
     return size > max(512 * 1024 * 1024, 12 * n_keys)
 
 
+def _device_table_fits(n_keys: int, n_devices: int,
+                       hbm_budget: int = 11 << 30) -> bool:
+    """Per-device footprint of the hash-partitioned PRIME+UPDATE
+    table: ~12 B/key (tagged key pair + count) plus the flush
+    workspace (two uint32 buffers, capped like PrimedDeviceCounter's
+    capacity). A human graph corpus (~2.5-3G distinct 31-mers) does
+    NOT fit one v5e chip, but partitions comfortably over >=8."""
+    per_dev = (n_keys + max(1, n_devices) - 1) // max(1, n_devices)
+    workspace = 16 * min(16 * max(per_dev, 1 << 20), 64 << 20)
+    return 12 * per_dev + workspace < hbm_budget
+
+
 def _log(msg: str) -> None:
     print(msg, file=sys.stderr)
 
@@ -204,20 +216,46 @@ def _read_counter(
                 f"  multi-host: process {shard[0]}/{shard[1]} counts every "
                 f"{shard[1]}-th read"
             )
-        if _use_device_counter(
-            readfile, len(prime_keys) if prime_keys is not None else 0
-        ):
-            from .kmers.device_counter import count_file_primed_device
+        n_keys = len(prime_keys) if prime_keys is not None else 0
+        if _use_device_counter(readfile, n_keys):
+            import jax
 
+            devices = jax.devices()
             # the `-e` hash size bounds the streaming block (the table
             # itself is O(graph kmers)); /64 maps the reference's 3e9
             # entry default to ~48 MB blocks
             block = int(min(max(hash_size // 64, 1 << 22), 1 << 28))
-            _log("  using device (TPU) PRIME+UPDATE counter")
-            counter = count_file_primed_device(
-                readfile, [segment_file], kmersize, block_bases=block,
-                shard=shard, keys=prime_keys,
-            )
+            if not _device_table_fits(n_keys, len(devices)):
+                _log(
+                    "  graph table exceeds the mesh's HBM budget; "
+                    "counting on the host engine"
+                )
+                counter = ExactKmerCounter.count_file_primed(
+                    readfile, [segment_file], kmersize,
+                    n_threads=nr_threads, shard=shard, keys=prime_keys,
+                )
+            elif len(devices) > 1:
+                # pod-scale layout: the graph table hash-partitions
+                # across the local mesh; read k-mers route to their
+                # owner device through an all_to_all per ingest step
+                from .kmers.device_counter import count_file_primed_sharded
+
+                _log(
+                    "  using sharded device PRIME+UPDATE counter over "
+                    f"{len(devices)} chips"
+                )
+                counter = count_file_primed_sharded(
+                    readfile, kmersize, prime_keys, shard=shard,
+                    block_bases=block,
+                )
+            else:
+                from .kmers.device_counter import count_file_primed_device
+
+                _log("  using device (TPU) PRIME+UPDATE counter")
+                counter = count_file_primed_device(
+                    readfile, [segment_file], kmersize, block_bases=block,
+                    shard=shard, keys=prime_keys,
+                )
         else:
             counter = ExactKmerCounter.count_file_primed(
                 readfile, [segment_file], kmersize, n_threads=nr_threads,
@@ -270,12 +308,24 @@ def run_index_command(
     )
     summary.phase("counting kmers in graph")
 
+    import threading as _threading
+
+    idx_thread = None
+    if hasattr(genomic_kmer_counts, "prepare_lookup_index"):
+        # build the selection phase's lookup index while graphs pickle
+        idx_thread = _threading.Thread(
+            target=genomic_kmer_counts.prepare_lookup_index, daemon=True
+        )
+        idx_thread.start()
+
     _log("Serialize Graph objects ...")
     for chromosome in chromosomes:
         _save(builder.graphs[chromosome], f"{outname}_{chromosome}_Graph.pkl")
     summary.phase("writing Graph objects to disk")
 
     _log("Determine unique kmers ...")
+    if idx_thread is not None:
+        idx_thread.join()
 
     def _index_chromosome(chromosome):
         t = time.monotonic()
@@ -919,6 +969,20 @@ def run_single_command(
         regularization,
     )
 
+    # the selection phase's open-addressing lookup indexes build in the
+    # background, overlapped with the Graph pickling below (each build
+    # is seconds-scale at genome tables; get_abundances takes a lock,
+    # so a slow build simply blocks the first lookup)
+    import threading as _threading
+
+    idx_threads = [
+        _threading.Thread(target=c.prepare_lookup_index, daemon=True)
+        for c in (genomic_kmer_counts, read_kmer_counts)
+        if hasattr(c, "prepare_lookup_index")
+    ]
+    for t in idx_threads:
+        t.start()
+
     # serialize graphs so they can be re-loaded for output writing after
     # streaming deletion (reference src/commands.cpp:343-347)
     _log("Serialize Graph objects ...")
@@ -940,11 +1004,8 @@ def run_single_command(
             probabilities, delete_processed_variants=True
         )
 
-    # pre-touch the lookup structures so the shared hash indexes build
-    # once, not racily per worker thread
-    _probe = np.zeros(1, dtype=np.uint64)
-    genomic_kmer_counts.get_abundances(_probe)
-    read_kmer_counts.get_abundances(_probe)
+    for t in idx_threads:
+        t.join()
     # one selection task per chromosome over the -t worker pool
     # (reference src/commands.cpp:366-379); numpy sorts and the native
     # lookups release the GIL, so 2 host cores overlap well

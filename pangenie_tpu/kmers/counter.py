@@ -25,6 +25,7 @@ Both jellyfish modes are provided (src/jellyfishcounter.cpp:26-85):
 from __future__ import annotations
 
 import gzip
+import threading
 from typing import Iterable, Iterator, List, Sequence
 
 import numpy as np
@@ -38,6 +39,7 @@ from .histogram import Histogram, compute_kmer_coverage_from_peaks
 # holds its key array alive, so a live entry's address cannot be
 # recycled; dead entries vanish with their last counter.
 _HASH_INDEX_CACHE: "weakref.WeakValueDictionary" = weakref.WeakValueDictionary()
+_HASH_INDEX_LOCK = threading.Lock()
 from .mer import canonicalize, encode_kmer, enumerate_valid_kmers
 from ..io.sequence import normalize_sequence
 
@@ -344,6 +346,34 @@ class ExactKmerCounter(KmerCounter):
         state.pop("_hash_index", None)  # ctypes handle: rebuilt lazily
         return state
 
+    def _ensure_hash_index(self):
+        """Build (once, under a lock — per-chromosome selection threads
+        otherwise race and each pay the ~seconds-scale build) or fetch
+        the shared open-addressing index for this key table."""
+        hash_index = getattr(self, "_hash_index", None)
+        if hash_index is not None:
+            return hash_index
+        with _HASH_INDEX_LOCK:
+            hash_index = getattr(self, "_hash_index", None)
+            if hash_index is not None:
+                return hash_index
+            cache_key = (
+                self.keys.__array_interface__["data"][0],
+                len(self.keys),
+            )
+            hash_index = _HASH_INDEX_CACHE.get(cache_key)
+            if hash_index is None:
+                hash_index = native.KmerHashIndex(self.keys)
+                _HASH_INDEX_CACHE[cache_key] = hash_index
+            self._hash_index = hash_index
+        return hash_index
+
+    def prepare_lookup_index(self) -> None:
+        """Eagerly build the lookup index (overlaps with other host
+        phases when called before the selection thread pool starts)."""
+        if len(self.keys) >= self._HASH_MIN_KEYS and native.available():
+            self._ensure_hash_index()
+
     def get_abundances(self, values: np.ndarray) -> np.ndarray:
         """Vectorized abundance lookup (values canonicalized here)."""
         if len(self.keys) == 0:
@@ -354,18 +384,7 @@ class ExactKmerCounter(KmerCounter):
             # ~2 probes/query beats 20+ binary-search cache misses.
             # Counters sharing a key table (PRIME+UPDATE reuses the
             # graph counter's keys) share one index via the cache.
-            hash_index = getattr(self, "_hash_index", None)
-            if hash_index is None:
-                cache_key = (
-                    self.keys.__array_interface__["data"][0],
-                    len(self.keys),
-                )
-                hash_index = _HASH_INDEX_CACHE.get(cache_key)
-                if hash_index is None:
-                    hash_index = native.KmerHashIndex(self.keys)
-                    _HASH_INDEX_CACHE[cache_key] = hash_index
-                self._hash_index = hash_index
-            return hash_index.lookup(canon, self.counts)
+            return self._ensure_hash_index().lookup(canon, self.counts)
         result = native.lookup_sorted(self.keys, self.counts, canon)
         if result is not None:
             return result
