@@ -211,10 +211,20 @@ def bench_e2e() -> None:
     )
     # persistent cache: repeated driver runs skip the (minutes-scale on
     # this 2-core host) input simulation
+    import resource
+
     casedir = build_inputs(args, workdir)
     outpref = os.path.join(casedir, "out")
     walls = []
-    for rep in range(2):
+    cpu_s = []
+    phase_snaps = []
+    # up to THREE reps (1 cold + best-of-2 warm): the harness shows
+    # hypervisor-level throttling with +/-2x noise on single e2e
+    # samples (docs/BENCHMARKS.md), so one warm rep is not a number.
+    # cpu_seconds per rep separates throttle (wall up, cpu flat)
+    # from real regressions (both up).
+    for rep in range(3):
+        ru0 = resource.getrusage(resource.RUSAGE_SELF)
         t0 = time.monotonic()
         run_single_command(
             os.path.join(casedir, "reads.fa"),
@@ -226,28 +236,49 @@ def bench_e2e() -> None:
             nr_core_threads=2,
         )
         walls.append(time.monotonic() - t0)
-        if rep == 0 and _remaining() < walls[0] * 0.7:
-            # not enough budget for the warm rep: report cold-only
-            break
+        ru1 = resource.getrusage(resource.RUSAGE_SELF)
+        cpu_s.append(
+            (ru1.ru_utime - ru0.ru_utime) + (ru1.ru_stime - ru0.ru_stime)
+        )
+        phase_snaps.append(_phase_walls())
+        if _remaining() < walls[-1] * 0.8 + 60:
+            break  # not enough budget for another rep
     result = genotype_concordance(
         outpref + "_genotyping.vcf", os.path.join(casedir, "truth.vcf")
     )
-    value = result.total / walls[-1]
+    best = min(walls[1:]) if len(walls) > 1 else walls[0]
+    best_i = walls.index(best)
+    value = result.total / best
     print(json.dumps({
         "metric": "e2e_genotype_variants_per_sec",
         "value": round(value, 1),
         "unit": "variants/s",
         "warm": len(walls) > 1,
-        "warm_wall_s": round(walls[-1], 2),
+        "warm_wall_s": round(best, 2),
         "cold_wall_s": round(walls[0], 2),
+        "all_walls_s": [round(w, 2) for w in walls],
+        "cpu_seconds": round(cpu_s[best_i], 2),
+        "all_cpu_seconds": [round(c, 2) for c in cpu_s],
         "variants": result.total,
         "length_bp": int(args.mb * 1_000_000),
         "chromosomes": args.chroms,
         "paths": 2 * args.samples + 1,
         "coverage": args.coverage,
         "concordance": round(result.concordance, 5),
+        "phase_walls_s": phase_snaps[best_i] if phase_snaps else {},
         "vs_baseline": round(value / BASELINE_COLUMNS_PER_SEC, 3),
     }), flush=True)
+
+
+def _phase_walls():
+    """Per-phase walls of one completed run (index phases included, so
+    the index-side walls are driver-verified artifacts too)."""
+    try:
+        from pangenie_tpu.utils.timer import last_phases
+
+        return {k: round(v, 2) for k, v in last_phases.items()}
+    except Exception:
+        return {}
 
 
 def bench_hmm() -> None:

@@ -30,6 +30,13 @@ _PALLAS_MAX_PATHS = 96
 _PALLAS_MAX_ALLELES = 8  # A^2 unrolled FMA terms per column
 
 
+def _is_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
 def _hbm_budget() -> int:
     try:
         stats = jax.devices()[0].memory_stats()
@@ -121,5 +128,35 @@ def forward_backward_batch(columns: ColumnArrays):
 
         _record("pallas_generic", columns.alleles.shape)
         return forward_backward_batch_pallas_e(columns)
+    _warn_if_paths_block_kernel(columns)
     _record("xla_scan", columns.alleles.shape)
     return jax.vmap(forward_backward)(columns)
+
+
+def _warn_if_paths_block_kernel(columns: ColumnArrays) -> None:
+    """A path count just above the kernel cap silently costs ~10x (the
+    XLA scan): say so loudly ONCE per shape. P > 96 is a hard Mosaic
+    VMEM limit — the [S=8, P, P, 128] alpha block no longer compiles
+    (probed on v5e: P=104 fails) — so the fix is a smaller -a subset
+    or sampling, not a bigger cap."""
+    try:
+        B, N, P = columns.alleles.shape
+    except Exception:
+        return
+    if not (_PALLAS_MAX_PATHS < P <= 2 * _PALLAS_MAX_PATHS):
+        return
+    if not _is_tpu():
+        return
+    key = ("warn_paths", P)
+    if key in _logged:
+        return
+    _logged.add(key)
+    import sys
+
+    print(
+        f"  WARNING: {P} paths exceeds the fused HMM kernel's cap of "
+        f"{_PALLAS_MAX_PATHS}; falling back to the ~10x slower XLA "
+        "scan. Use haplotype sampling or a path subset (-a) of "
+        f"<= {_PALLAS_MAX_PATHS} paths to stay on the fast path.",
+        file=sys.stderr,
+    )

@@ -14,6 +14,12 @@ import time
 from typing import List, Tuple
 
 
+# phase -> seconds of the most recent completed command in this
+# process; the bench reads it to attribute the e2e wall to phases in
+# its JSON artifact line
+last_phases: dict = {}
+
+
 class Timer:
     """Monotonic total/interval timer (reference src/timer.cpp:5-20)."""
 
@@ -43,6 +49,8 @@ class PhaseSummary:
         self.phases.append((name, self.timer.get_interval_time()))
 
     def print_summary(self) -> None:
+        global last_phases
+        last_phases = dict(self.phases)
         print(f"\n###### Summary {self.command} ######", file=sys.stderr)
         for name, seconds in self.phases:
             print(f"time spent {name}:\t{seconds:.2f} sec", file=sys.stderr)
