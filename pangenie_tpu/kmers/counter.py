@@ -259,26 +259,37 @@ class ExactKmerCounter(KmerCounter):
             )
         counts = np.zeros(len(keys), dtype=np.int64)
         if len(keys):
-            hash_index = None
-            if native.available():
-                hash_index = native.KmerHashIndex(keys)
             raw_blocks = (
                 try_sequence_blocks(read_file)
-                if hash_index is not None else None
+                if native.available() else None
             )
             if raw_blocks is not None:
                 # fast path: native FASTA chunk parse + fused-table
-                # streaming ({key,count} interleaved, prefetch-batched:
-                # one random cache-line per window) — zero Python work
-                # per read
+                # streaming ({key,count} interleaved, double-buffered
+                # prefetch pipeline: one random cache-line per window)
+                # — zero Python work per read. The parse of block N+1
+                # overlaps block N's (GIL-releasing) native streaming.
+                from concurrent.futures import ThreadPoolExecutor
+
                 kc = native.KmerCountTable(keys)
                 base = 0
-                for data, offsets in raw_blocks:
-                    kc.stream_update_raw(
-                        data, offsets, k, n_threads, shard, base
-                    )
-                    base += len(offsets) - 1
+                with ThreadPoolExecutor(max_workers=1) as parse_pool:
+                    it = iter(raw_blocks)
+                    nxt = parse_pool.submit(lambda: next(it, None))
+                    while True:
+                        block = nxt.result()
+                        if block is None:
+                            break
+                        nxt = parse_pool.submit(lambda: next(it, None))
+                        data, offsets = block
+                        kc.stream_update_raw(
+                            data, offsets, k, n_threads, shard, base
+                        )
+                        base += len(offsets) - 1
                 return cls(k, keys, kc.export_counts(n_threads))
+            hash_index = (
+                native.KmerHashIndex(keys) if native.available() else None
+            )
             # stream reads in blocks; native extraction + accumulation
             from ..parallel.distributed import shard_sequences
 
