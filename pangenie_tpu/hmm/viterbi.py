@@ -74,23 +74,24 @@ def _top2_last(x, axis: int):
     """Per-slice (m1, a1, m2, a2): max with LAST argmax, and the max
     with LAST argmax after excluding index a1 (so m2/a2 answer "max
     over the slice minus one given index" queries exactly, including
-    under ties)."""
+    under ties). Gather/flip-free: last-argmax is the max of the iota
+    where the value equals the max — reduces only (TPU gathers and
+    flip copies made this the scan's hot spot)."""
     n = x.shape[axis]
     neg_inf = jnp.array(-jnp.inf, x.dtype)
-
-    def last_argmax(y):
-        return (n - 1) - jnp.argmax(jnp.flip(y, axis), axis=axis)
-
-    a1 = last_argmax(x)
-    m1 = jnp.take_along_axis(x, jnp.expand_dims(a1, axis), axis).squeeze(axis)
     idx = jnp.expand_dims(
-        jnp.arange(n), [d for d in range(x.ndim) if d != axis]
+        jnp.arange(n, dtype=jnp.int32),
+        [d for d in range(x.ndim) if d != axis],
     )
+
+    m1 = jnp.max(x, axis=axis)
+    m1e = jnp.expand_dims(m1, axis)
+    a1 = jnp.max(jnp.where(x == m1e, idx, -1), axis=axis)
     masked = jnp.where(idx == jnp.expand_dims(a1, axis), neg_inf, x)
-    a2 = last_argmax(masked)
-    m2 = jnp.take_along_axis(
-        masked, jnp.expand_dims(a2, axis), axis
-    ).squeeze(axis)
+    m2 = jnp.max(masked, axis=axis)
+    a2 = jnp.max(
+        jnp.where(masked == jnp.expand_dims(m2, axis), idx, -1), axis=axis
+    )
     return m1, a1.astype(jnp.int32), m2, a2.astype(jnp.int32)
 
 
@@ -139,14 +140,21 @@ def _prev_best_factored(lv_prev, lt, P: int):
     # g[q1, p2] = max over q2 != p2 of lv[q1, q2] (with its col index);
     # then top-2 over q1 per p2 answers the q1 != p1 exclusion.
     gv = jnp.where(ex, rm2[:, None], rm1[:, None])            # [q1, p2]
-    ga = jnp.where(ex, ra2[:, None], ra1[:, None])            # col idx
     gm1, gA1, gm2, gA2 = _top2_last(gv, axis=0)               # [P] per p2
     hit = gA1[None, :] == grid_r                              # top row == p1?
     v2 = jnp.where(hit, gm2[None, :], gm1[None, :]) + lt[2]
     j2_row = jnp.where(hit, gA2[None, :], gA1[None, :])       # [P, P]
-    j2_col = jnp.take_along_axis(ga, j2_row.reshape(P, P), axis=0)
-    # ga is indexed [q1, p2]: for state (p1, p2) the winning row is
-    # j2_row[p1, p2] and its column ga[j2_row, p2] — gather per column
+    # winning column = ga[j2_row, p2] where ga[q1, p2] picks ra2[q1]
+    # when that row's best column sits AT p2 (ex) else ra1[q1].
+    # j2_row is one of {gA1[p2], gA2[p2]}, so the [P, P] gather
+    # collapses to four [P]-sized gathers + selects (a [P, P] gather
+    # per scan step dominated the replay on TPU)
+    r1g1, r2g1 = ra1[gA1], ra2[gA1]                           # [P]
+    r1g2, r2g2 = ra1[gA2], ra2[gA2]
+    ra1_at = jnp.where(hit, r1g2[None, :], r1g1[None, :])     # [P, P]
+    ra2_at = jnp.where(hit, r2g2[None, :], r2g1[None, :])
+    ex_at = ra1_at == grid_c
+    j2_col = jnp.where(ex_at, ra2_at, ra1_at)
     j2 = (j2_row * P + j2_col).astype(jnp.int32)
 
     best_val, best_idx = _lex_max(v0, j0, v1, j1)
@@ -185,8 +193,25 @@ def _viterbi_step(carry, inputs, P, dtype, uniform: bool,
 def viterbi(columns: ColumnArrays, uniform: bool = False):
     """Max-plus scan; returns (best path-pair state per column) [N].
 
-    States are flattened row-major: state = p1 * P + p2.
+    States are flattened row-major: state = p1 * P + p2. Long
+    chromosomes with few alleles dispatch to the two-pass blocked
+    formulation (:func:`_viterbi_fast`); the plain scan is the
+    reference path and fallback.
     """
+    import os
+
+    N, P = columns.alleles.shape
+    A = columns.incidence.shape[2]
+    if (
+        N >= 2048
+        and A <= 8
+        and not os.environ.get("PANGENIE_TPU_NO_FAST_VITERBI")
+    ):
+        return _viterbi_fast(columns, uniform)
+    return _viterbi_scan(columns, uniform)
+
+
+def _viterbi_scan(columns: ColumnArrays, uniform: bool):
     N, P = columns.alleles.shape
     S = P * P
     dtype = columns.lp.dtype
@@ -215,6 +240,145 @@ def viterbi(columns: ColumnArrays, uniform: bool = False):
     # states_rev[n] = state at column n (chase emits current state, then
     # moves to its predecessor for column n-1)
     return states_rev
+
+
+_VIT_L = 64  # pass-2 segment length of the blocked formulation
+
+
+def _viterbi_fast(columns: ColumnArrays, uniform: bool):
+    """Two-pass blocked Viterbi: ~10x the plain scan's throughput.
+
+    The scan pays ~30 us of serial latency per column, almost all of it
+    in the tie-exact top-2/backtrace machinery. Split it:
+
+    Pass 1 — VALUE-ONLY scan (~8 ops/column): per current state the
+    best predecessor VALUE needs no exclusion logic at all, because a
+    dominated candidate cannot change a max: the row/column/global
+    maxima may sit at excluded coordinates, but any such candidate
+    belongs to a cheaper switch class and is already included there
+    with a transition weight at least as large (stay >= switch-one >=
+    switch-two in log space), and float addition is monotone, so the
+    unconstrained form is bit-equal to the constrained one.
+
+    Pass 2 — the EXACT original step (top-2 last-argmax statistics,
+    lexicographic class combination) replays every _VIT_L-column
+    segment in parallel from pass 1's boundary values, emitting the
+    bit-exact backtraces; a reverse segment scan with statically
+    unrolled scalar gathers chases the path (same pattern as the
+    blocked sampling DP).
+
+    The per-column emission [S] is materialized once up front with
+    A^2 select passes (exact copies — no arithmetic), which also
+    removes the per-step [P, P] gather from both scans.
+    """
+    N, P = columns.alleles.shape
+    S = P * P
+    dtype = columns.lp.dtype
+    logEA = _log_allele_emissions(columns)
+    A = logEA.shape[1]
+    al = columns.allele_local
+
+    logE = jnp.zeros((N, P, P), dtype)
+    for a in range(A):
+        ma = al == a
+        for b in range(A):
+            m = ma[:, :, None] & (al == b)[:, None, :]
+            logE = jnp.where(m, logEA[:, a, b][:, None, None], logE)
+    logE = logE.reshape(N, S)
+    lt = (
+        jnp.zeros((N, 3), dtype)
+        if uniform
+        else jnp.log(columns.trans).astype(dtype)
+    )
+    neglogS = -jnp.log(jnp.asarray(float(S), dtype))
+
+    def normalize(cur):
+        lse = jax.scipy.special.logsumexp(cur)
+        return jnp.where(
+            jnp.isfinite(lse), cur - lse, jnp.full(S, neglogS, dtype)
+        )
+
+    def vstep(carry, inputs):
+        lv_prev, is_first = carry
+        logE_n, lt_n = inputs
+        lv = lv_prev.reshape(P, P)
+        rowmax = jnp.max(lv, axis=1)
+        colmax = jnp.max(lv, axis=0)
+        gmax = jnp.max(rowmax)
+        best = jnp.maximum(
+            jnp.maximum(lv + lt_n[0], rowmax[:, None] + lt_n[1]),
+            jnp.maximum(colmax[None, :] + lt_n[1], gmax + lt_n[2]),
+        ).reshape(S)
+        prev_cell = jnp.where(is_first, jnp.zeros(S, dtype), best)
+        cur = normalize(prev_cell + logE_n)
+        return (cur, jnp.zeros((), bool)), cur
+
+    init = (jnp.zeros(S, dtype), jnp.ones((), bool))
+    (last, _), ys = jax.lax.scan(vstep, init, (logE, lt))
+
+    rev = jnp.argmax(last[::-1])
+    best_last = ((S - 1) - rev).astype(jnp.int32)
+
+    # pass 2: exact replay per segment
+    def replay_step(carry, inputs):
+        lv_prev, is_first = carry
+        logE_n, lt_n = inputs
+        best_val, best_idx = _prev_best_factored(lv_prev, lt_n, P)
+        prev_cell = jnp.where(is_first, jnp.zeros(S, dtype), best_val)
+        cur = normalize(prev_cell + logE_n)
+        bt = jnp.where(is_first, jnp.zeros(S, jnp.int32), best_idx)
+        return (cur, jnp.zeros((), bool)), bt
+
+    L = _VIT_L
+    Kf = N // L
+    tail = N - Kf * L
+    ent = jnp.concatenate(
+        [jnp.zeros((1, S), dtype), ys[L - 1:Kf * L - 1:L]], axis=0
+    )                                                   # [Kf, S]
+    isf = jnp.concatenate(
+        [jnp.ones((1,), bool), jnp.zeros((Kf - 1,), bool)]
+    )
+
+    def seg_replay(entry, isf_s, logE_s, lt_s):
+        (_, _), bts = jax.lax.scan(
+            replay_step, (entry, isf_s), (logE_s, lt_s)
+        )
+        return bts
+
+    bts = jax.vmap(seg_replay)(
+        ent, isf,
+        logE[: Kf * L].reshape(Kf, L, S),
+        lt[: Kf * L].reshape(Kf, L, 3),
+    )                                                   # [Kf, L, S]
+
+    state = best_last
+    tail_states = None
+    if tail:
+        (_, _), bt_tail = jax.lax.scan(
+            replay_step,
+            (ys[Kf * L - 1], jnp.zeros((), bool)),
+            (logE[Kf * L:], lt[Kf * L:]),
+        )
+
+        def chase_t(s, bt):
+            return bt[s], s
+
+        state, tail_states = jax.lax.scan(
+            chase_t, state, bt_tail, reverse=True
+        )
+
+    def chase_seg(sigma, bt_seg):                       # bt_seg [L, S]
+        outs = []
+        for col in range(L - 1, -1, -1):
+            outs.append(sigma)
+            sigma = bt_seg[col][sigma]
+        return sigma, jnp.stack(outs[::-1])
+
+    _, seg_states = jax.lax.scan(chase_seg, state, bts, reverse=True)
+    states = seg_states.reshape(Kf * L)
+    if tail_states is not None:
+        states = jnp.concatenate([states, tail_states])
+    return states
 
 
 @partial(jax.jit, static_argnames=("uniform",))
