@@ -194,6 +194,56 @@ def bench_mixed_sv():
     }), flush=True)
 
 
+def bench_sv_long_chunked():
+    """SV-shaped batch at CHROMOSOME length: B=32, N=16384, A=16. The
+    un-chunked generic kernel's [N, P, P, 128] tensors (3 x 6.4 GB)
+    exceed HBM here; the N-chunked core (alpha/beta carries, chunk-
+    local alpha recompute) keeps it on the kernel."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pangenie_tpu.hmm import batch as hmm_batch
+    from pangenie_tpu.hmm.batch import forward_backward_batch
+    from pangenie_tpu.utils.synthetic import synthetic_columns
+
+    B, N, P, K, A = 32, 16384, 32, 32, 16
+
+    def make(seed):
+        cols = synthetic_columns(
+            n_columns=N, n_paths=P, n_kmers=K, n_alleles=A,
+            batch_dims=(B,), dtype=jnp.float32, seed=seed,
+        )
+        return type(cols)(*[jnp.asarray(x) for x in cols])
+
+    reps = 2
+    inputs = [make(seed) for seed in range(reps + 1)]
+
+    def device_sum(result):
+        return sum(jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(result))
+
+    float(np.asarray(device_sum(forward_backward_batch(inputs[-1]))))
+    best = float("inf")
+    for _ in range(2):
+        start = time.perf_counter()
+        results = [forward_backward_batch(inputs[s]) for s in range(reps)]
+        total = sum(device_sum(r) for r in results)
+        float(np.asarray(total))
+        best = min(best, (time.perf_counter() - start) / reps)
+    print(json.dumps({
+        "metric": "hmm_sv_long_chunked_columns_per_sec_per_chip",
+        "value": round(B * N / best, 1),
+        "unit": "columns/s",
+        "dispatch": hmm_batch.last_dispatch,
+        "alleles_per_column": A,
+        "paths": P,
+        "batch": B,
+        "columns": N,
+        "ms_per_batch": round(best * 1000, 1),
+        "backend": jax.devices()[0].platform,
+    }), flush=True)
+
+
 def bench_phasing_viterbi():
     """The -p mode's core loop: batched max-plus Viterbi over path-pair
     states at the production phasing shape (30-path subset — the
@@ -237,11 +287,17 @@ def bench_phasing_viterbi():
 
 
 def main():
+    # `longsv` exists for the chunked-kernel regime but is NOT in the
+    # default set: on one chip XLA's B-minor relayout padding OOMs it
+    # at B=32 (see hmm/batch.py:use_pallas_generic) — kept for the
+    # round-6 (P, P)-lane kernel work.
     which = set(sys.argv[1:]) or {"sv", "mixed", "sampling", "phasing"}
     if "sv" in which:
         bench_sv_multiallelic()
     if "mixed" in which:
         bench_mixed_sv()
+    if "longsv" in which:
+        bench_sv_long_chunked()
     if "sampling" in which:
         bench_sampling_200hap()
     if "phasing" in which:

@@ -77,12 +77,32 @@ def use_pallas(columns: ColumnArrays) -> bool:
 def use_pallas_generic(columns: ColumnArrays) -> bool:
     """True when the any-A generic kernel handles this batch: emissions
     are precomputed A-bucketed on device (needs concrete arrays — the
-    bucketing gathers run outside jit), then the scan runs fused with
-    [P, P] state emissions streamed from HBM."""
+    bucketing gathers run outside jit), then the scan runs fused in
+    N-CHUNKS with carries, so only the COMPACT [B, N, P*P] E/posterior
+    tensors are resident at full length (the lane-padded [chunk, P, P,
+    128] working set is bounded by the chunk picker) — genome-scale N
+    at production batch sizes (B=2) stays on the kernel."""
+    if os.environ.get("PANGENIE_TPU_NO_PALLAS"):
+        return False
     if isinstance(columns.nr_local, jax.core.Tracer):
         return False  # host-side bucketing needs concrete column data
-    # three [N, P, P, LB] HBM tensors live at once (E, alphas, posts)
-    return _common_eligible(columns, n_state_tensors=3)
+    if columns.lp.dtype != jnp.float32:
+        return False
+    B, N, P = columns.alleles.shape
+    if N == 0 or P > _PALLAS_MAX_PATHS:
+        return False
+    lb = (max(B, 1) + 127) // 128 * 128
+    # three [N, P, P, LB] HBM tensors live at once (E, alphas, posts).
+    # An N-chunked core with alpha/beta carries exists
+    # (pallas_fb._fb_pallas_e_core, exactness-tested) but does NOT yet
+    # widen this check: the kernels put B on lanes, so at production
+    # batch sizes (B=2..32) the chunked kernel either loses to the XLA
+    # scan on padded-lane compute (measured B=2: 63k vs 302k columns/s)
+    # or trips XLA's B-minor relayout padding. The round-6 fix is a
+    # (P, P)-lane kernel layout; see docs/BENCHMARKS.md.
+    if 3 * N * P * P * lb * 4 > _hbm_budget():
+        return False
+    return _is_tpu()
 
 
 # which implementation the most recent forward_backward_batch call

@@ -304,15 +304,17 @@ def forward_backward_batch_pallas(columns: ColumnArrays,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel_e(e_ref, tr_ref, alpha_ref, cfwd_ref, carry_ref,
-                  *, S: int, P: int):
+def _fwd_kernel_e(e_ref, tr_ref, alpha0_ref, alpha_ref, cfwd_ref,
+                  carry_ref, *, S: int, P: int):
     i_n = pl.program_id(1)
 
-    # factored (u0, u1, u2) with u[0] = (1, 0, 0); ones carry replaces
-    # the per-column is-first select (see _fwd_kernel)
+    # carry enters from alpha0 (ones for the first chunk — with the
+    # factored (u0, u1, u2), u[0] = (1, 0, 0) this replaces the
+    # per-column is-first select; for later N-chunks it is the
+    # previous chunk's final alpha, making the recurrence continuous)
     @pl.when(i_n == jnp.int32(0))
     def _():
-        carry_ref[:] = jnp.ones_like(carry_ref)
+        carry_ref[:] = alpha0_ref[:]
 
     def body(s, carry):
         E = e_ref[s]
@@ -329,12 +331,16 @@ def _fwd_kernel_e(e_ref, tr_ref, alpha_ref, cfwd_ref, carry_ref,
 
 
 def _bwd_kernel_e(alpha_ref, cfwd_ref, en_ref, trn_ref, last_ref,
-                  posts_ref, beta_ref, *, S: int, P: int):
+                  beta0_ref, posts_ref, beta_out_ref, beta_ref,
+                  *, S: int, P: int):
     i_n = pl.program_id(1)
 
+    # beta enters from beta0 (zeros for the final chunk — the is_last
+    # override re-seeds at the true last column; for earlier N-chunks
+    # it is the following chunk's outgoing beta)
     @pl.when(i_n == jnp.int32(0))
     def _():
-        beta_ref[:] = jnp.zeros_like(beta_ref)
+        beta_ref[:] = beta0_ref[:]
 
     def body(r, beta):
         s = jnp.int32(S - 1) - r
@@ -350,6 +356,9 @@ def _bwd_kernel_e(alpha_ref, cfwd_ref, en_ref, trn_ref, last_ref,
 
     beta_ref[:] = jax.lax.fori_loop(
         jnp.int32(0), jnp.int32(S), body, beta_ref[:])
+    # the same (0, 0, b) output block is revisited every grid step, so
+    # the final write is the chunk's outgoing carry
+    beta_out_ref[:] = beta_ref[:]
 
 
 def _pick_segment_e(P: int) -> int:
@@ -534,36 +543,98 @@ def forward_backward_batch_pallas_e(columns: ColumnArrays,
 
     del dtype, A
     E = bucketed_state_emissions(columns)  # [B, N, P*P]
-    posts, log_corr = _fb_pallas_e_core(
-        E, columns.trans, columns.is_last, columns.scale, P=P,
-        interpret=interpret,
-    )
+    chunk = _pick_chunk(N, P, B)
+    if B < 32 and chunk < _round_up(N, _pick_segment_e(P)):
+        # small batches that NEED chunking run per batch element: the
+        # kernels want B on lanes, and XLA layout assignment otherwise
+        # relayouts the whole resident [B, N, P*P] tensor to B-minor —
+        # whose (8,128) tile pads B=2 to 128 (a 64x, tens-of-GB copy).
+        # With B=1 the lane transpose is a free singleton reshape, and
+        # lane utilization is no worse than the 2-of-128 it was.
+        posts_l, corr_l = [], []
+        for b in range(B):
+            p_b, c_b = _fb_pallas_e_core(
+                E[b:b + 1], columns.trans[b:b + 1],
+                columns.is_last[b:b + 1], columns.scale[b:b + 1],
+                P=P, chunk=chunk, interpret=interpret,
+            )
+            posts_l.append(p_b)
+            corr_l.append(c_b)
+        posts = jnp.concatenate(posts_l, axis=0)
+        log_corr = jnp.concatenate(corr_l, axis=0)
+    else:
+        posts, log_corr = _fb_pallas_e_core(
+            E, columns.trans, columns.is_last, columns.scale, P=P,
+            chunk=chunk, interpret=interpret,
+        )
     posteriors = bucketed_collapse(posts, columns)
     return posteriors, log_corr
 
 
-@partial(jax.jit, static_argnames=("P", "interpret"))
+def _pick_chunk(N: int, P: int, B: int) -> int:
+    """Columns per N-chunk: the lane-padded [chunk, P, P, LB] tensors
+    (E, alphas, posts, shifted-E — ~5 live at once in the backward
+    step) must fit the HBM budget. B is lane-padded to 128, so at
+    production batch sizes (B=2 chromosome blocks) chunking is what
+    keeps genome-scale N on the kernel at all."""
+    from .batch import _hbm_budget
+
+    S = _pick_segment_e(P)
+    LB = _round_up(max(B, 1), LANE)
+    per_col = P * P * LB * 4
+    max_cols = max(S, int(_hbm_budget() // (5 * per_col)))
+    NP = _round_up(max(N, 1), S)
+    return min(NP, (max_cols // S) * S)
+
+
+@partial(jax.jit, static_argnames=("P", "chunk", "interpret"))
 def _fb_pallas_e_core(E_flat, trans, is_last, scale, P: int,
-                      interpret: bool = False):
+                      chunk: int = 0, interpret: bool = False):
+    """Forward-backward over [B, N] columns in N-chunks of `chunk`
+    columns: a lax.scan carries (alpha, beta, boundary E/trans) between
+    chunks, each chunk lane-pads and runs the fused kernels, and only
+    COMPACT [B, chunk, P*P] tensors cross the scan boundary — the
+    checkpoint-recompute pattern (forward twice, alphas chunk-local)
+    that keeps HBM at O(chunk * P^2 * 128) instead of O(N * ...)."""
     B, N = E_flat.shape[0], E_flat.shape[1]
     dtype = E_flat.dtype
-    E = E_flat.reshape(B, N, P, P)
 
     LB = _round_up(max(B, 1), LANE)
     S = _pick_segment_e(P)
-    NP = _round_up(max(N, 1), S)
+    if chunk <= 0:
+        chunk = _round_up(max(N, 1), S)
+    chunk = _round_up(chunk, S)
+    NP = _round_up(max(N, 1), chunk)
+    n_chunks = NP // chunk
 
-    def to_lanes(x):
-        x = jnp.moveaxis(x, 0, -1)  # [N, ..., B]
-        pad = [(0, NP - x.shape[0])] + [(0, 0)] * (x.ndim - 2) + [(0, LB - B)]
+    # pad compact inputs to the chunk multiple (padding sits after the
+    # true last column: is_last re-seeds the backward there, so garbage
+    # flowing through padded columns never reaches a real posterior —
+    # the same argument as the old per-S padding). Chunks are carved
+    # with dynamic_slice from the naturally-laid-out [B, NP, ...]
+    # tensors: a leading-n_chunks transpose made XLA assign a layout
+    # that tile-padded the B=2 axis 64x (34 GB for a 0.5 GB tensor).
+    def pad_n(x):
+        return jnp.pad(x, [(0, 0), (0, NP - N)] + [(0, 0)] * (x.ndim - 2))
+
+    E_pad = pad_n(E_flat)                              # [B, NP, PP]
+    tr_pad = pad_n(_factor_trans(trans))               # [B, NP, 3]
+    last_pad = pad_n(is_last.astype(dtype))            # [B, NP]
+
+    def chunk_of(x, i):
+        # the barrier stops layout assignment from propagating the
+        # kernels' B-minormost preference back through the slice onto
+        # the resident tensor (whose (8,128) tile would pad B=2 to 128
+        # — a 64x, tens-of-GB relayout copy)
+        sl = jax.lax.dynamic_slice_in_dim(x, i * chunk, chunk, axis=1)
+        return jax.lax.optimization_barrier(sl)
+
+    def to_lanes(x):  # [B, chunk, ...] -> [chunk, ..., LB]
+        x = jnp.moveaxis(x, 0, -1)
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, LB - B)]
         return jnp.pad(x.astype(dtype), pad)
 
-    e_t = to_lanes(E)                                   # [NP, P, P, LB]
-    tr_t = to_lanes(_factor_trans(trans))               # [NP, 3, LB]
-    last_t = to_lanes(is_last.astype(dtype)[:, :, None])  # [NP, 1, LB]
-
-    nb_n = NP // S
-    grid = (LB // LANE, nb_n)
+    grid = (LB // LANE, chunk // S)
     params = pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"),
         vmem_limit_bytes=100 * 1024 * 1024,
@@ -572,51 +643,97 @@ def _fb_pallas_e_core(E_flat, trans, is_last, scale, P: int,
     def spec(block, index_map):
         return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
 
-    with jax.enable_x64(False):
-        alphas, c_fwd = pl.pallas_call(
-            partial(_fwd_kernel_e, S=S, P=P),
-            grid=grid,
-            in_specs=[
-                spec((S, P, P, LANE), lambda b, n: (n, 0, 0, b)),
-                spec((S, 3, LANE), lambda b, n: (n, 0, b)),
-            ],
-            out_specs=[
-                spec((S, P, P, LANE), lambda b, n: (n, 0, 0, b)),
-                spec((S, LANE), lambda b, n: (n, b)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((NP, P, P, LB), dtype),
-                jax.ShapeDtypeStruct((NP, LB), dtype),
-            ],
-            scratch_shapes=[pltpu.VMEM((P, P, LANE), dtype)],
-            compiler_params=params,
-            interpret=interpret,
-        )(e_t, tr_t)
+    def run_fwd(e_t, tr_t, alpha0):
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                partial(_fwd_kernel_e, S=S, P=P),
+                grid=grid,
+                in_specs=[
+                    spec((S, P, P, LANE), lambda b, n: (n, 0, 0, b)),
+                    spec((S, 3, LANE), lambda b, n: (n, 0, b)),
+                    spec((P, P, LANE), lambda b, n: (0, 0, b)),
+                ],
+                out_specs=[
+                    spec((S, P, P, LANE), lambda b, n: (n, 0, 0, b)),
+                    spec((S, LANE), lambda b, n: (n, b)),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((chunk, P, P, LB), dtype),
+                    jax.ShapeDtypeStruct((chunk, LB), dtype),
+                ],
+                scratch_shapes=[pltpu.VMEM((P, P, LANE), dtype)],
+                compiler_params=params,
+                interpret=interpret,
+            )(e_t, tr_t, alpha0)
 
-    en_t = jnp.roll(e_t, -1, axis=0)
-    trn_t = jnp.roll(tr_t, -1, axis=0)
+    def fstep(alpha, i):
+        e_t = to_lanes(chunk_of(E_pad, i).reshape(B, chunk, P, P))
+        tr_t = to_lanes(chunk_of(tr_pad, i))
+        alphas, _c_fwd = run_fwd(e_t, tr_t, alpha)
+        return alphas[chunk - 1], alpha            # emit the ENTRY
+
+    alpha_init = jnp.ones((P, P, LB), dtype)
+    _, entries = jax.lax.scan(
+        fstep, alpha_init, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+
+    nb_n = chunk // S
     rev = lambda n: nb_n - 1 - n  # noqa: E731
 
-    with jax.enable_x64(False):
-        posts = pl.pallas_call(
-            partial(_bwd_kernel_e, S=S, P=P),
-            grid=grid,
-            in_specs=[
-                spec((S, P, P, LANE), lambda b, n: (rev(n), 0, 0, b)),
-                spec((S, LANE), lambda b, n: (rev(n), b)),
-                spec((S, P, P, LANE), lambda b, n: (rev(n), 0, 0, b)),
-                spec((S, 3, LANE), lambda b, n: (rev(n), 0, b)),
-                spec((S, 1, LANE), lambda b, n: (rev(n), 0, b)),
-            ],
-            out_specs=spec((S, P, P, LANE), lambda b, n: (rev(n), 0, 0, b)),
-            out_shape=jax.ShapeDtypeStruct((NP, P, P, LB), dtype),
-            scratch_shapes=[pltpu.VMEM((P, P, LANE), dtype)],
-            compiler_params=params,
-            interpret=interpret,
-        )(alphas, c_fwd, en_t, trn_t, last_t)
+    def run_bwd(alphas, c_fwd, en_t, trn_t, last_t, beta0):
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                partial(_bwd_kernel_e, S=S, P=P),
+                grid=grid,
+                in_specs=[
+                    spec((S, P, P, LANE), lambda b, n: (rev(n), 0, 0, b)),
+                    spec((S, LANE), lambda b, n: (rev(n), b)),
+                    spec((S, P, P, LANE), lambda b, n: (rev(n), 0, 0, b)),
+                    spec((S, 3, LANE), lambda b, n: (rev(n), 0, b)),
+                    spec((S, 1, LANE), lambda b, n: (rev(n), 0, b)),
+                    spec((P, P, LANE), lambda b, n: (0, 0, b)),
+                ],
+                out_specs=[
+                    spec((S, P, P, LANE),
+                         lambda b, n: (rev(n), 0, 0, b)),
+                    spec((P, P, LANE), lambda b, n: (0, 0, b)),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((chunk, P, P, LB), dtype),
+                    jax.ShapeDtypeStruct((P, P, LB), dtype),
+                ],
+                scratch_shapes=[pltpu.VMEM((P, P, LANE), dtype)],
+                compiler_params=params,
+                interpret=interpret,
+            )(alphas, c_fwd, en_t, trn_t, last_t, beta0)
 
-    # flat [B, N, P*P]: unpadded jit-boundary layout
-    posts_b = jnp.moveaxis(posts, -1, 0)[:B, :N].reshape(B, N, P * P)
+    def bstep(carry, inp):
+        beta, e_first, tr_first = carry
+        i, entry = inp
+        e_t = to_lanes(chunk_of(E_pad, i).reshape(B, chunk, P, P))
+        tr_t = to_lanes(chunk_of(tr_pad, i))
+        # recompute this chunk's alphas from its entry carry
+        alphas, c_fwd = run_fwd(e_t, tr_t, entry)
+        # columns shifted by -1; the chunk's last column reads the
+        # FIRST column of the following chunk (from the reverse carry)
+        en_t = jnp.concatenate([e_t[1:], e_first[None]], axis=0)
+        trn_t = jnp.concatenate([tr_t[1:], tr_first[None]], axis=0)
+        last_t = to_lanes(chunk_of(last_pad, i)[:, :, None])
+        posts, beta_out = run_bwd(alphas, c_fwd, en_t, trn_t, last_t, beta)
+        posts_b = jnp.moveaxis(posts, -1, 0)[:B].reshape(B, chunk, P * P)
+        return (beta_out, e_t[0], tr_t[0]), posts_b
+
+    carry0 = (
+        jnp.zeros((P, P, LB), dtype),
+        jnp.zeros((P, P, LB), dtype),
+        jnp.zeros((3, LB), dtype),
+    )
+    _, posts_chunks = jax.lax.scan(
+        bstep, carry0,
+        (jnp.arange(n_chunks, dtype=jnp.int32), entries), reverse=True,
+    )                                          # [nc, B, chunk, PP]
+
+    posts_b = jnp.moveaxis(posts_chunks, 0, 1).reshape(B, NP, P * P)[:, :N]
 
     next_scale = jnp.concatenate(
         [scale[:, 1:], jnp.zeros((B, 1), scale.dtype)], axis=1

@@ -100,3 +100,27 @@ def test_generic_dispatch_requires_concrete_columns():
     ref_p, ref_c = jax.jit(jax.vmap(forward_backward))(cols)
     np.testing.assert_allclose(np.asarray(posts), np.asarray(ref_p))
     np.testing.assert_allclose(np.asarray(corr), np.asarray(ref_c))
+
+
+@pytest.mark.parametrize("N,chunk", [(70, 16), (64, 32), (47, 16)])
+def test_generic_pallas_chunked_matches_xla_scan(N, chunk):
+    """The N-chunked core (alpha/beta/boundary-E carries across chunks,
+    chunk-local alpha recompute) must match the scan for multi-chunk N,
+    exact chunk multiples, and padded tails alike."""
+    from pangenie_tpu.hmm.pallas_fb import (
+        _fb_pallas_e_core,
+        bucketed_collapse,
+    )
+
+    cols = _f32_device(_mixed_allele_columns(2, N, 6, 4, A_hi=4, seed=9))
+    ref_p, ref_c = jax.jit(jax.vmap(forward_backward))(cols)
+    E = bucketed_state_emissions(cols)
+    posts, log_corr = _fb_pallas_e_core(
+        E, cols.trans, cols.is_last, cols.scale, P=6, chunk=chunk,
+        interpret=True,
+    )
+    pal_p = bucketed_collapse(posts, cols)
+    np.testing.assert_allclose(
+        np.asarray(pal_p), np.asarray(ref_p), rtol=2e-4, atol=1e-7
+    )
+    np.testing.assert_allclose(np.asarray(log_corr), np.asarray(ref_c))
