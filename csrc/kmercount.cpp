@@ -284,6 +284,37 @@ extern "C" void pg_hash_destroy(void* handle) {
 // queries): ~2 probes per query instead of log2(n) binary-search
 // cache misses — the unique-kmer selection issues ~200 queries per
 // bubble against multi-10M-key tables.
+// Canonicalizing variant: queries may be either strand; the
+// canonical min(q, revcomp(q)) is computed per probe (a handful of
+// bit ops next to a DRAM-latency probe — free), replacing a ~7-pass
+// numpy canonicalization on the host.
+extern "C" void pg_hash_lookup_canon(
+    void* handle, const int64_t* counts, const uint64_t* queries,
+    int64_t n_queries, int k, int64_t* out, int n_threads) {
+    const KmerHash* hash = static_cast<KmerHash*>(handle);
+    auto worker = [&](int64_t b, int64_t e) {
+        for (int64_t i = b; i < e; ++i) {
+            const uint64_t q = queries[i];
+            const uint64_t rc = revcomp(q, k);
+            const int64_t slot = hash->find(q < rc ? q : rc);
+            out[i] = slot >= 0 ? counts[slot] : 0;
+        }
+    };
+    if (n_threads <= 1 || n_queries < (1 << 16)) {
+        worker(0, n_queries);
+        return;
+    }
+    std::vector<std::thread> threads;
+    const int64_t chunk = (n_queries + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        const int64_t b = t * chunk;
+        const int64_t e = std::min(n_queries, b + chunk);
+        if (b >= e) break;
+        threads.emplace_back(worker, b, e);
+    }
+    for (auto& th : threads) th.join();
+}
+
 extern "C" void pg_hash_lookup(
     void* handle, const int64_t* counts, const uint64_t* queries,
     int64_t n_queries, int64_t* out, int n_threads) {

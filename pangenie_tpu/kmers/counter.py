@@ -389,13 +389,16 @@ class ExactKmerCounter(KmerCounter):
         """Vectorized abundance lookup (values canonicalized here)."""
         if len(self.keys) == 0:
             return np.zeros(len(values), dtype=np.int64)
-        canon = canonicalize(np.asarray(values, dtype=np.uint64), self.k)
         if len(self.keys) >= self._HASH_MIN_KEYS and native.available():
             # big tables: amortize a one-time open-addressing index —
             # ~2 probes/query beats 20+ binary-search cache misses.
             # Counters sharing a key table (PRIME+UPDATE reuses the
             # graph counter's keys) share one index via the cache.
-            return self._ensure_hash_index().lookup(canon, self.counts)
+            # Canonicalization happens per probe in C.
+            return self._ensure_hash_index().lookup_canon(
+                np.asarray(values, dtype=np.uint64), self.counts, self.k
+            )
+        canon = canonicalize(np.asarray(values, dtype=np.uint64), self.k)
         result = native.lookup_sorted(self.keys, self.counts, canon)
         if result is not None:
             return result

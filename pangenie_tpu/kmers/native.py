@@ -89,6 +89,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, i64p, u64p, ctypes.c_int64, i64p,
             ctypes.c_int,
         ]
+        lib.pg_hash_lookup_canon.restype = None
+        lib.pg_hash_lookup_canon.argtypes = [
+            ctypes.c_void_p, i64p, u64p, ctypes.c_int64, ctypes.c_int,
+            i64p, ctypes.c_int,
+        ]
         # hot per-VCF-line call: c_char_p lets Python bytes pass with
         # no data_as/cast object churn; the out pointer goes as a raw
         # address (ctypes .data int) via c_void_p
@@ -389,6 +394,26 @@ class KmerHashIndex:
             counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             queries.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             len(queries),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_threads,
+        )
+        return out[: len(queries)]
+
+    def lookup_canon(self, queries: np.ndarray, counts: np.ndarray,
+                     k: int, n_threads: int = 0) -> np.ndarray:
+        """Like :meth:`lookup`, but queries may be either strand: the
+        canonical form is computed per probe in C (replacing a ~7-pass
+        numpy canonicalization of the whole query array)."""
+        queries = np.ascontiguousarray(queries, dtype=np.uint64)
+        counts = np.ascontiguousarray(counts, dtype=np.int64)
+        out = np.empty(max(1, len(queries)), dtype=np.int64)
+        if n_threads <= 0:
+            n_threads = os.cpu_count() or 1
+        self._lib.pg_hash_lookup_canon(
+            self._handle,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            queries.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            len(queries), k,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             n_threads,
         )

@@ -841,11 +841,15 @@ class UniqueKmerComputer:
                     record.allele_indptr = np.arange(
                         hi - lo + 1, dtype=np.int32
                     )
-                    # alleles are sorted within the record slice;
-                    # setdefault dedupes without a per-record np.unique
+                    # alleles are sorted within the record slice: skip
+                    # duplicate runs so setdefault runs per distinct
+                    # allele (~2 per record) instead of per kmer (~40)
                     alleles = record.alleles
+                    prev = None
                     for a in fa2_list[lo:hi]:
-                        alleles.setdefault(a, False)
+                        if a != prev:
+                            alleles.setdefault(a, False)
+                            prev = a
                 result.append(record)
 
             if delete_processed_variants:

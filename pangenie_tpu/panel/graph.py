@@ -209,7 +209,13 @@ class ChromosomeGraph:
         paths = np.empty((N, P), dtype=np.int32)
         for i, v in enumerate(self.variants):
             starts[i] = v.start_position
-            ends[i] = v.get_end_position()
+            seqs = v.allele_sequences
+            # uncombined bubbles (the overwhelming majority): end is
+            # start + ref length — skip the get_end_position call
+            ends[i] = (
+                v.start_position + len(seqs[0][0])
+                if len(seqs) == 1 else v.get_end_position()
+            )
             paths[i] = v.paths
         # covered (path-carried) alleles per variant, sorted unique, CSR
         if N and P:
