@@ -47,6 +47,9 @@ class HMMColumns:
     local_alleles: np.ndarray    # [N, A] global allele ids, -1 padded
     allele_local: np.ndarray     # [N, P] local index of alleles[n, p]
     nr_local: np.ndarray         # [N] number of distinct alleles
+    # optional compressed log_probs (exact): row indices + value table
+    lp_idx: "np.ndarray | None" = None    # [N, K] uint16
+    lp_table: "np.ndarray | None" = None  # [T, 3]
 
     @property
     def n_columns(self) -> int:
@@ -105,6 +108,8 @@ def _log_probability_grid(
     cov_ok = (cov >= table.cov_min) & (cov < table.cov_max)
     in_table = cov_ok[:, None] & (cnt < table.count_max) & mask
     log_table = table.log_table(dtype)
+    idx = None
+    value_table = None
     if log_table.size:
         # clipped direct gather + mask (avoids the boolean fancy-index
         # temporaries that dominated the densify profile)
@@ -117,6 +122,8 @@ def _log_probability_grid(
         out = np.zeros((N, K, 3), dtype=dtype)
         out[in_table] = -np.inf
     oob = mask & ~in_table
+    vals = np.zeros((0, 3), dtype=dtype)
+    inverse = None
     if np.any(oob):
         # fall back per unique (cov, count) pair
         cov2 = np.broadcast_to(cov[:, None], (N, K))
@@ -128,7 +135,27 @@ def _log_probability_grid(
         with np.errstate(divide="ignore"):
             vals = np.where(lin > 0, np.log(lin), -np.inf).astype(dtype)
         out[oob] = vals[inverse]
-    return out
+
+    # COMPRESSED form of the SAME grid: every cell's 3-vector comes
+    # from a small table (row 0 = the masked/padding zeros, then the
+    # in-table entries, then the unique out-of-table fallbacks), so the
+    # device transfer can ship uint16 indices (2 B/cell) + the table
+    # instead of the 12 B/cell f32 grid. Pure exact compression — the
+    # device gather reproduces `out` bit-for-bit.
+    if log_table.size:
+        ncnt, ncov = log_table.shape[0], log_table.shape[1]
+        n_rows = 1 + ncnt * ncov + len(vals)
+        if n_rows <= 0xFFFF:
+            idx = np.zeros((N, K), dtype=np.uint16)
+            flat = (cnt_idx * ncov + cov_idx[:, None] + 1)
+            idx[in_table] = flat[in_table].astype(np.uint16)
+            if inverse is not None:
+                idx[oob] = (1 + ncnt * ncov + inverse).astype(np.uint16)
+            value_table = np.concatenate(
+                [np.zeros((1, 3), dtype=dtype),
+                 log_table.reshape(ncnt * ncov, 3), vals]
+            )
+    return out, idx, value_table
 
 
 def _compute_all_zeros(
@@ -208,6 +235,8 @@ class DenseRecords:
     incidence: np.ndarray      # [R, K, A]
     log_probs: np.ndarray      # [R, K, 3]
     all_zeros: np.ndarray      # [R]
+    lp_idx: "np.ndarray | None" = None    # [R, K] uint16
+    lp_table: "np.ndarray | None" = None  # [T, 3]
 
     @property
     def n_records(self) -> int:
@@ -345,7 +374,7 @@ def densify_records(
                 rows_e[sl][present], cols_e[sl][present], li[present]
             ] = True
 
-    log_probs = _log_probability_grid(
+    log_probs, lp_idx, lp_table = _log_probability_grid(
         probabilities, coverage, kmer_counts, kmer_mask, dtype
     )
     all_zeros = _compute_all_zeros(
@@ -365,6 +394,8 @@ def densify_records(
         incidence=incidence,
         log_probs=log_probs,
         all_zeros=all_zeros,
+        lp_idx=lp_idx,
+        lp_table=lp_table,
     )
 
 
@@ -439,4 +470,8 @@ def build_columns(
         local_alleles=dense.local_alleles[kept_arr],
         allele_local=sub_local[kept_arr],
         nr_local=dense.nr_local[kept_arr],
+        lp_idx=(
+            dense.lp_idx[kept_arr] if dense.lp_idx is not None else None
+        ),
+        lp_table=dense.lp_table,
     )

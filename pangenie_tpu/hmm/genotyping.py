@@ -18,6 +18,7 @@ reference's bookkeeping quirks:
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence
 
 import jax
@@ -46,6 +47,23 @@ def _bucket(n: int, minimum: int = 16) -> int:
     return b
 
 
+@jax.jit
+def _gather_lp(idx, table):
+    """[N, K] uint16 -> [N, K, 3] via the small value table."""
+    return table[idx.astype(jnp.int32)]
+
+
+@jax.jit
+def _lp_and_scale(idx, table, kmer_mask):
+    """Fused device-side grid gather + per-column rescale constant —
+    ONE program where the grid path ran eager scale ops, so the
+    compressed transfer does not add compile surface."""
+    lp = table[idx.astype(jnp.int32)]
+    m = jnp.max(lp, axis=-1)
+    m = jnp.where(kmer_mask & jnp.isfinite(m), m, 0.0)
+    return lp, jnp.sum(m, axis=-1)
+
+
 def _to_device_columns(
     columns: HMMColumns,
     recombrate: float,
@@ -65,6 +83,7 @@ def _to_device_columns(
         )
 
     lp = columns.log_probs
+    lp_idx = columns.lp_idx
     incidence = columns.incidence
     kmer_mask = columns.kmer_mask
     alleles = columns.alleles
@@ -97,6 +116,10 @@ def _to_device_columns(
 
         if Kp != K or Ap != A or Np != N:
             lp = pad(lp, (Np, Kp, 3))
+            if lp_idx is not None:
+                # row 0 of the value table is the zeros row — identical
+                # to the grid's 0.0 padding
+                lp_idx = pad(lp_idx, (Np, Kp))
             incidence = pad(incidence, (Np, Kp, Ap))
             kmer_mask = pad(kmer_mask, (Np, Kp))
             alleles = pad(alleles, (Np, P))
@@ -135,9 +158,23 @@ def _to_device_columns(
             is_last=is_last,
         )
 
-    lp_j = jnp.asarray(lp, dtype)
-    kmer_mask_j = jnp.asarray(kmer_mask)
-    scale = emission_scale(lp_j, kmer_mask_j)
+    if lp_idx is not None and not os.environ.get("PANGENIE_TPU_NO_IDX_LP"):
+        # ship uint16 table indices (2 B/cell) + the small value table
+        # and gather the [N, K, 3] grid ON DEVICE — bit-identical to
+        # transferring the f32 grid at a sixth of the link bytes
+        # (~40 MB/s tunneled links make the grid the HMM phase's
+        # biggest single transfer)
+        kmer_mask_j = jnp.asarray(kmer_mask)
+        lp_j, scale = _lp_and_scale(
+            jnp.asarray(lp_idx),
+            jnp.asarray(columns.lp_table.astype(
+                np.dtype(jnp.dtype(dtype).name))),
+            kmer_mask_j,
+        )
+    else:
+        lp_j = jnp.asarray(lp, dtype)
+        kmer_mask_j = jnp.asarray(kmer_mask)
+        scale = emission_scale(lp_j, kmer_mask_j)
     return ColumnArrays(
         lp=lp_j,
         incidence=jnp.asarray(incidence),

@@ -113,3 +113,29 @@ def test_emission_probability_undefined():
     assert np.isclose(E[1, 2], 0.000132565)
     assert np.isclose(E[2, 1], 0.000132565)
     assert np.isclose(E[2, 2], 0.000019852, rtol=1e-4)
+
+
+def test_lp_index_compression_bit_exact():
+    """The uint16-index + value-table form of the log-probability grid
+    must reproduce the grid bit-for-bit — including masked cells,
+    out-of-table (cov, count) fallbacks, and the device-side gather."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pangenie_tpu.hmm.columns import _log_probability_grid
+    from pangenie_tpu.hmm.genotyping import _gather_lp
+    from pangenie_tpu.model.probabilities import ProbabilityTable
+
+    table = ProbabilityTable(2, 36, 18, 0.01)
+    rng = np.random.default_rng(5)
+    N, K = 300, 12
+    coverage = rng.integers(2, 36, size=N)
+    counts = rng.integers(0, 80, size=(N, K))  # many cells >= count_max
+    mask = rng.random((N, K)) > 0.15
+    out, idx, vt = _log_probability_grid(
+        table, coverage, counts, mask, np.float32
+    )
+    assert idx is not None and vt is not None
+    np.testing.assert_array_equal(vt[idx], out)
+    got = np.asarray(_gather_lp(jnp.asarray(idx), jnp.asarray(vt)))
+    np.testing.assert_array_equal(got, out)
